@@ -1,0 +1,178 @@
+"""Single-process reference implementation (the rank-identity oracle).
+
+The reference ships no similarity/search tests (SURVEY.md §5) — its BM25 and
+search stack are declared-but-stubbed (clt/search/similarities/b_m25_similarity.rs:1,
+clt/search/index_searcher.rs:12-36). This oracle pins the full pipeline
+semantics (FIXTURES.md §§2-4): same tokenizer, same docID assignment, same
+SmallFloat norms, same float32 BM25 with a fixed combination order. The Spark
+engine must be rank- AND score-identical to this.
+
+Pinned cross-engine contracts:
+- partition(row) = int(sha1(repo + "\\x00" + path + "\\x00" + commit)[:15 hex], 16) % P
+- doc_id = (partition << 40) | row_number  (rows sorted by (repo, path, commit)
+  within partition)  — the (segment, local docID) analog, SURVEY.md §1.4
+- per-term score: kernels.bm25_score (float32)
+- multi-term total: float32 sum of per-term scores in ascending-term order
+- top-k order: (-score, doc_id); ties by ascending doc_id (HitQueue convention,
+  clt/search/mod.rs:60)
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+from lucene_rust_spark.functions import kernels as K
+from lucene_rust_spark.functions.analysis import tokenize
+
+PARTITION_SHIFT = 40
+
+
+def partition_of(repo: str, path: str, commit: str, num_partitions: int) -> int:
+    h = hashlib.sha1(f"{repo}\x00{path}\x00{commit}".encode()).hexdigest()
+    return int(h[:15], 16) % num_partitions
+
+
+def assign_doc_ids(df: pd.DataFrame, num_partitions: int) -> pd.DataFrame:
+    """Canonical deterministic docID assignment (engine must match)."""
+    df = df.copy()
+    df["part"] = [
+        partition_of(r, p, c, num_partitions)
+        for r, p, c in zip(df["repo"], df["path"], df["commit"])
+    ]
+    df = df.sort_values(["part", "repo", "path", "commit"], kind="mergesort").reset_index(drop=True)
+    rn = df.groupby("part").cumcount()
+    df["doc_id"] = (df["part"].to_numpy(np.int64) << PARTITION_SHIFT) | rn.to_numpy(np.int64)
+    return df
+
+
+@dataclass
+class OracleIndex:
+    doc_ids: np.ndarray  # sorted int64
+    dlq: np.ndarray  # uint8 norm byte, aligned to doc_ids
+    dl: np.ndarray  # exact token counts, aligned
+    postings: dict  # term -> (doc_idx int64[] (positions into doc_ids), tf int32[])
+    doc_count: int
+    sum_ttf: int
+    meta: pd.DataFrame = field(repr=False, default=None)
+
+    @property
+    def avgdl(self) -> np.float32:
+        return np.float32(np.float64(self.sum_ttf) / np.float64(self.doc_count))
+
+    def norm_cache(self) -> np.ndarray:
+        return K.bm25_norm_cache(self.avgdl)
+
+    def idf(self, term: str) -> np.float32:
+        df = len(self.postings[term][0]) if term in self.postings else 0
+        return K.bm25_idf(df, self.doc_count)
+
+
+def build_oracle_index(df: pd.DataFrame, num_partitions: int) -> OracleIndex:
+    df = assign_doc_ids(df, num_partitions)
+    doc_ids = df["doc_id"].to_numpy(np.int64)  # sorted by construction
+    assert (np.diff(doc_ids) > 0).all()
+    postings: dict[str, tuple[list, list]] = {}
+    dl = np.zeros(len(df), dtype=np.int64)
+    for i, text in enumerate(df["content"]):
+        toks = tokenize(text)
+        dl[i] = len(toks)
+        counts: dict[str, int] = {}
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+        for t, tf in counts.items():
+            lst = postings.setdefault(t, ([], []))
+            lst[0].append(i)
+            lst[1].append(tf)
+    packed = {
+        t: (np.array(ix, dtype=np.int64), np.array(tf, dtype=np.int32))
+        for t, (ix, tf) in postings.items()
+    }
+    return OracleIndex(
+        doc_ids=doc_ids,
+        dlq=K.int_to_byte4(dl),
+        dl=dl,
+        postings=packed,
+        doc_count=len(df),
+        sum_ttf=int(dl.sum()),
+        meta=df[["doc_id", "repo", "path", "commit", "lang"]],
+    )
+
+
+# --- query AST (dict-shaped, JSON-serializable; FIXTURES.md §4) ---
+
+
+def term_query(t: str) -> dict:
+    return {"type": "term", "term": t}
+
+
+def bool_query(must=(), should=(), must_not=(), min_should_match=0) -> dict:
+    return {
+        "type": "bool",
+        "must": [term_query(t) if isinstance(t, str) else t for t in must],
+        "should": [term_query(t) if isinstance(t, str) else t for t in should],
+        "must_not": [term_query(t) if isinstance(t, str) else t for t in must_not],
+        "min_should_match": min_should_match,
+    }
+
+
+def query_terms(q: dict) -> tuple[list[str], list[str], list[str], int]:
+    """Flatten a v1 AST into (must, should, must_not, msm) term lists."""
+    if q["type"] == "term":
+        return [], [q["term"]], [], 0
+    must = [c["term"] for c in q.get("must", ())]
+    should = [c["term"] for c in q.get("should", ())]
+    must_not = [c["term"] for c in q.get("must_not", ())]
+    return must, should, must_not, int(q.get("min_should_match", 0) or 0)
+
+
+def oracle_search(
+    idx: OracleIndex, q: dict, k: int = 10, search_after: tuple | None = None
+) -> list[tuple[int, float]]:
+    """Exact BM25 top-k per the pinned spec. Returns [(doc_id, score_f32)]."""
+    must, should, must_not, msm = query_terms(q)
+    cache = idx.norm_cache()
+    n = idx.doc_count
+    # scoring terms, ascending order = the pinned combination order
+    scoring = sorted(set(must) | set(should))
+    score_acc = np.zeros(n, dtype=np.float32)
+    match_must = np.zeros(n, dtype=np.int32)
+    match_should = np.zeros(n, dtype=np.int32)
+    touched = np.zeros(n, dtype=bool)
+    for t in scoring:
+        if t not in idx.postings:
+            continue
+        ix, tf = idx.postings[t]
+        idf = idx.idf(t)
+        s = K.bm25_score(tf, idx.dlq[ix], np.full(len(ix), idf, dtype=np.float32), cache)
+        score_acc[ix] = (score_acc[ix] + s).astype(np.float32)
+        touched[ix] = True
+        if t in must:
+            match_must[ix] += 1
+        if t in should:
+            match_should[ix] += 1
+    ok = touched.copy()
+    if must:
+        ok &= match_must >= len(set(must))
+    if should and (msm or not must):
+        ok &= match_should >= max(msm, 0 if must else 1)
+    for t in must_not:
+        if t in idx.postings:
+            ok[idx.postings[t][0]] = False
+    cand = np.flatnonzero(ok)
+    scores = score_acc[cand]
+    dids = idx.doc_ids[cand]
+    if search_after is not None:
+        s_a, d_a = np.float32(search_after[0]), int(search_after[1])
+        keep = (scores < s_a) | ((scores == s_a) & (dids > d_a))
+        scores, dids = scores[keep], dids[keep]
+    order = np.lexsort((dids, -scores.astype(np.float64)))[:k]
+    return [(int(dids[i]), float(scores[i])) for i in order]
+
+
+def oracle_count(idx: OracleIndex, q: dict) -> int:
+    """TotalHitCountCollector analog (clt/search/mod.rs:161)."""
+    return len(oracle_search(idx, q, k=idx.doc_count))

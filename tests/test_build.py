@@ -1,0 +1,122 @@
+"""Index-build invariants: manifest round-trip (the rfc_database.rs analog),
+deterministic docIDs, content-sha256 integrity, checkpoint resume
+(FIXTURES.md §6, SURVEY.md §5)."""
+
+import glob
+import json
+import os
+
+import numpy as np
+
+
+def test_manifest_invariants(spark, t1_index):
+    from lucene_rust_spark.index.manifest import check_index, read_manifest
+
+    out, manifest = t1_index
+    m = read_manifest(out)
+    assert m["doc_count"] == 2000
+    assert m["generation"] == 1
+    assert len(m["segments"]) == 8
+    assert all(s["del_count"] == 0 for s in m["segments"])  # rfc_database.rs:58-62
+    assert sum(s["max_doc"] for s in m["segments"]) == 2000
+    facts = check_index(out, spark)
+    assert facts["doc_count"] == 2000
+
+
+def test_doc_ids_match_oracle(spark, t1_index, oracle_idx):
+    """Engine docID assignment (JVM sha1 + window) must equal the oracle's
+    pure-Python assignment — the determinism contract for rank identity."""
+    out, _ = t1_index
+    docmap = (
+        spark.read.parquet(os.path.join(out, "docmap"))
+        .select("doc_id", "repo", "path")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = oracle_idx.meta.sort_values("doc_id").reset_index(drop=True)
+    assert docmap["doc_id"].tolist() == want["doc_id"].tolist()
+    assert docmap["repo"].tolist() == want["repo"].tolist()
+    assert docmap["path"].tolist() == want["path"].tolist()
+
+
+def test_content_sha256_integrity(spark, t1_index, t1_pandas):
+    """Per-row sha256(content) carried through the pipeline equals the
+    sha256 of the source rows (BASELINE.json input_hint invariant)."""
+    import hashlib
+
+    out, manifest = t1_index
+    want = 0
+    for c in t1_pandas["content"]:
+        want ^= int(hashlib.sha256(c.encode()).hexdigest()[:15], 16)
+    assert manifest["content_sha256_xor"] == format(want, "016x")
+
+
+def test_norms_match_oracle(spark, t1_index, oracle_idx):
+    out, _ = t1_index
+    norms = (
+        spark.read.parquet(os.path.join(out, "norms"))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert norms["dl"].to_numpy().tolist() == oracle_idx.dl.tolist()
+    assert (norms["dlq"].to_numpy() == oracle_idx.dlq).all()
+
+
+def test_postings_invariants(spark, t1_index, oracle_idx):
+    """doc_freq == len(postings); sum(tf) == total_term_freq; delta
+    monotonicity via first/last doc ordering (SURVEY.md §5.4)."""
+    from pyspark.sql import functions as F
+
+    out, _ = t1_index
+    terms = spark.read.parquet(os.path.join(out, "terms"))
+    sample = {t: (len(p[0]), int(p[1].sum())) for t, p in list(oracle_idx.postings.items())[:50]}
+    rows = terms.filter(F.col("term").isin(list(sample))).collect()
+    assert len(rows) == len(sample)
+    for r in rows:
+        df, ttf = sample[r["term"]]
+        assert int(r["doc_freq"]) == df, r["term"]
+        assert int(r["total_term_freq"]) == ttf, r["term"]
+    # block ordering within (term, seg)
+    blocks = spark.read.parquet(os.path.join(out, "postings")).filter(
+        F.col("term").isin(list(sample))
+    )
+    pdf = blocks.select("term", "seg", "block_no", "first_doc", "last_doc", "n").toPandas()
+    for (_, _), g in pdf.groupby(["term", "seg"]):
+        g = g.sort_values("block_no")
+        assert (g["first_doc"].to_numpy() <= g["last_doc"].to_numpy()).all()
+        assert (g["last_doc"].to_numpy()[:-1] < g["first_doc"].to_numpy()[1:]).all()
+        assert (g["n"].to_numpy()[:-1] == 128).all()  # only the tail block is short
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    """Kill-and-resume: build group 0 of 2, wipe nothing, resume → the
+    second build must only run group 1 and commit an identical manifest
+    (modulo wall time) — north_rule resumability."""
+    from lucene_rust_spark.corpus import gen_corpus_spark
+    from lucene_rust_spark.index.build import build_index
+    from lucene_rust_spark.index.manifest import read_manifest
+
+    out = str(tmp_path / "idx")
+    src = gen_corpus_spark(spark, 400, 4)
+
+    full = build_index(spark, src, str(tmp_path / "ref"), num_partitions=4, num_groups=2)
+
+    # simulate a crash: run group 0 then abort before group 1
+    try:
+        build_index(spark, src, out, num_partitions=4, num_groups=2, resume=False)
+    finally:
+        pass
+    # drop group 1's checkpoint + outputs to simulate dying mid-build
+    os.remove(os.path.join(out, "checkpoints", "group_1.json"))
+    for d in glob.glob(os.path.join(out, "*", "group=1")):
+        import shutil
+
+        shutil.rmtree(d)
+    os.remove(os.path.join(out, "manifest.json"))
+
+    resumed = build_index(spark, src, out, num_partitions=4, num_groups=2, resume=True)
+    for key in ["doc_count", "sum_total_term_freq", "segments", "content_sha256_xor"]:
+        assert resumed[key] == full[key], key
+    assert read_manifest(out)["doc_count"] == 400
