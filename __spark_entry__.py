@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` builds (or reuses) the REAL inverted index over the
+sf0.001 documents table and runs a BM25 top-10 boolean query through the
+engine (block decode + float32 kernel + TakeOrderedAndProject).
+
+``queries()`` / ``oracle_sql()``: one entry per implemented operator from
+SURVEY.md §2 plus the training-data ops; most have exact DuckDB oracles
+(see lucene_rust_spark/gate.py), and the engine_* entries additionally run
+the full index+search path with integer-exact oracles.
 """
 
 from __future__ import annotations
@@ -15,24 +18,93 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: engine BM25 top-10 for 'merge OR window' on sf0.001."""
+    from pyspark.sql import functions as F
+
+    from lucene_rust_spark.entry_helpers import gate_searcher
+    from lucene_rust_spark.oracle.bm25 import bool_query
+
+    s = gate_searcher(spark, "/root/testdata/sf0.001")
+    hits = s.search_df(bool_query(should=["merge", "window"]), k=10)
+    return s.fetch(hits).select(
+        "doc_id", F.round("score", 4).alias("score"), "repo", "path", "lang"
+    )
+
+
+def _engine_term_count(spark, sf_dir):
+    from lucene_rust_spark.entry_helpers import count_df, gate_searcher
+    from lucene_rust_spark.oracle.bm25 import term_query
+
+    return count_df(spark, gate_searcher(spark, sf_dir).count(term_query("merge")))
+
+
+def _engine_and_count(spark, sf_dir):
+    from lucene_rust_spark.entry_helpers import count_df, gate_searcher
+    from lucene_rust_spark.oracle.bm25 import bool_query
+
+    q = bool_query(must=["merge", "window"])
+    return count_df(spark, gate_searcher(spark, sf_dir).count(q))
+
+
+def _engine_not_count(spark, sf_dir):
+    from lucene_rust_spark.entry_helpers import count_df, gate_searcher
+    from lucene_rust_spark.oracle.bm25 import bool_query
+
+    q = bool_query(must=["merge"], must_not=["window"])
+    return count_df(spark, gate_searcher(spark, sf_dir).count(q))
+
+
+def _engine_msm_count(spark, sf_dir):
+    from lucene_rust_spark.entry_helpers import count_df, gate_searcher
+    from lucene_rust_spark.oracle.bm25 import bool_query
+
+    q = bool_query(should=["merge", "window", "batch"], min_should_match=2)
+    return count_df(spark, gate_searcher(spark, sf_dir).count(q))
+
+
+_ENGINE_QUERIES = {
+    "engine_term_count": (
+        _engine_term_count,
+        "WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),"
+        " '[^a-z0-9_]+'), x -> x <> '') AS toks FROM documents) "
+        "SELECT count(*)::BIGINT AS n_hits FROM tk WHERE list_contains(toks, 'merge')",
+    ),
+    "engine_and_count": (
+        _engine_and_count,
+        "WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),"
+        " '[^a-z0-9_]+'), x -> x <> '') AS toks FROM documents) "
+        "SELECT count(*)::BIGINT AS n_hits FROM tk WHERE list_contains(toks, 'merge')"
+        " AND list_contains(toks, 'window')",
+    ),
+    "engine_not_count": (
+        _engine_not_count,
+        "WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),"
+        " '[^a-z0-9_]+'), x -> x <> '') AS toks FROM documents) "
+        "SELECT count(*)::BIGINT AS n_hits FROM tk WHERE list_contains(toks, 'merge')"
+        " AND NOT list_contains(toks, 'window')",
+    ),
+    "engine_msm_count": (
+        _engine_msm_count,
+        "WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),"
+        " '[^a-z0-9_]+'), x -> x <> '') AS toks FROM documents) "
+        "SELECT count(*)::BIGINT AS n_hits FROM tk WHERE "
+        "(list_contains(toks, 'merge')::INT + list_contains(toks, 'window')::INT"
+        " + list_contains(toks, 'batch')::INT) >= 2",
+    ),
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from lucene_rust_spark.gate import GATE
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = {name: fn for name, (fn, _sql) in GATE.items()}
+    out.update({name: fn for name, (fn, _sql) in _ENGINE_QUERIES.items()})
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from lucene_rust_spark.gate import GATE
+
+    out = {name: sql for name, (_fn, sql) in GATE.items() if sql is not None}
+    out.update({name: sql for name, (_fn, sql) in _ENGINE_QUERIES.items()})
+    return out

@@ -1,0 +1,55 @@
+"""Helpers for __spark_entry__.py: run the REAL engine (index build +
+search) over the driver's `documents` table, with on-disk index reuse."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_GATE_IDX_ROOT = "/tmp/lrs_gate_index"
+_SEARCHERS: dict[str, object] = {}
+
+
+def documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the driver's documents table onto the engine's corpus schema
+    (BASELINE.json input_hint: repo, path, commit, lang, content)."""
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.md5("text").alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+    )
+
+
+def gate_searcher(spark: SparkSession, sf_dir: str):
+    """Build (or reuse) the engine index for sf_dir's documents table and
+    return an IndexSearcher. The index is cached on disk across calls."""
+    from lucene_rust_spark.index.build import build_index
+    from lucene_rust_spark.index.manifest import read_manifest
+    from lucene_rust_spark.search.searcher import IndexSearcher
+
+    key = os.path.basename(os.path.normpath(sf_dir))
+    if key in _SEARCHERS:
+        return _SEARCHERS[key]
+    out = os.path.join(_GATE_IDX_ROOT, key)
+    src = documents_as_corpus(spark, sf_dir)
+    m = read_manifest(out)
+    if m is None or m["doc_count"] != src.count():
+        build_index(spark, src, out, num_partitions=8, resume=False)
+    s = IndexSearcher(spark, out, cache=True)
+    _SEARCHERS[key] = s
+    return s
+
+
+def count_df(spark: SparkSession, n: int) -> DataFrame:
+    return spark.createDataFrame([(int(n),)], "n_hits long")
+
+
+def doc_id_from_path(df: DataFrame) -> DataFrame:
+    """Recover the documents.doc_id from the engine docmap's path column."""
+    return df.withColumn(
+        "orig_doc_id", F.split(F.col("path"), "/").getItem(1).cast("long")
+    )

@@ -1,0 +1,671 @@
+"""Driver-gate queries: each entry is a Spark DataFrame plan plus an exact
+ANSI-SQL oracle that DuckDB runs on the same parquet tables (TESTDATA.md).
+
+Every entry maps to an operator row in SURVEY.md §2 (cited per entry) or to
+the training-data-pipeline operator set (dedup / similarity / text analysis).
+Column names + types are pinned to match between both sides: every computed
+column is aliased identically, sums are cast to BIGINT (DuckDB sum(int)
+returns HUGEINT), and float results are rounded so double vs double
+last-ulp noise can't flip the value hash.
+
+Tokenizer used by the gate (both sides): lower(text) split on
+'[^a-z0-9_]+', empties dropped — identical to the engine's \\w+ analyzer on
+this corpus (documents.text is single-space-separated lowercase words).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+TOK_RE = "[^a-z0-9_]+"
+
+
+def _w_all():
+    """Unpartitioned window (whole result set) — built lazily because
+    Column construction needs an active session."""
+    return Window.partitionBy(F.lit(1))
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _toks(spark, sf_dir) -> DataFrame:
+    """(doc_id, toks array<string>) — shared tokenization."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), TOK_RE), lambda x: x != "").alias("toks"),
+    )
+
+
+def _flat(spark, sf_dir) -> DataFrame:
+    """(doc_id, term, tf) — per-doc term frequencies (TermsHash analog)."""
+    return (
+        _toks(spark, sf_dir)
+        .select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+_SQL_TOKS = (
+    "SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),"
+    " x -> x <> '') AS toks FROM documents"
+)
+_SQL_FLAT = (
+    f"WITH tk AS ({_SQL_TOKS}) "
+    "SELECT doc_id, term, count(*)::BIGINT AS tf FROM tk, unnest(toks) AS u(term) "
+    "GROUP BY doc_id, term"
+)
+
+
+# ---------------------------------------------------------------------------
+# Full-text operators (SURVEY.md §2.5-2.7) — SQL-expressible forms
+# ---------------------------------------------------------------------------
+
+
+def ft_term_count(spark, sf_dir):
+    """TermQuery + TotalHitCountCollector (clt/search/mod.rs:149,161)."""
+    return (
+        _toks(spark, sf_dir)
+        .filter(F.array_contains("toks", "merge"))
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+SQL_FT_TERM_COUNT = (
+    f"WITH tk AS ({_SQL_TOKS}) SELECT count(*)::BIGINT AS n_hits FROM tk "
+    "WHERE list_contains(toks, 'merge')"
+)
+
+
+def _bm25_single(spark, sf_dir, term: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75, exact dl) for one term over all matching docs,
+    double precision, rounded — BM25Similarity (b_m25_similarity.rs:1)."""
+    toks = _toks(spark, sf_dir)
+    dl = toks.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("long").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    m = (
+        _flat(spark, sf_dir)
+        .filter(F.col("term") == term)
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("df", F.count("*").over(_w_all()))
+    )
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tfn = F.col("tf") / (
+        F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+    )
+    return m.select("doc_id", F.round(idf * tfn, 4).alias("score"))
+
+
+def _sql_bm25_single(term: str) -> str:
+    return f"""
+WITH tk AS ({_SQL_TOKS}),
+dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tk),
+st AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+fl AS ({_SQL_FLAT}),
+m AS (
+  SELECT fl.doc_id, fl.tf, dl.dl, st.n_docs, st.avgdl,
+         count(*) OVER () AS df
+  FROM fl JOIN dl ON fl.doc_id = dl.doc_id CROSS JOIN st
+  WHERE fl.term = '{term}'
+)
+SELECT doc_id,
+  round( ln(1.0 + (n_docs - df + 0.5)/(df + 0.5))
+       * (tf / (tf + 1.2*(1.0 - 0.75 + 0.75*dl/avgdl))), 4) AS score
+FROM m
+"""
+
+
+def ft_bm25_scores(spark, sf_dir):
+    return _bm25_single(spark, sf_dir, "merge")
+
+
+SQL_FT_BM25_SCORES = _sql_bm25_single("merge")
+
+
+def ft_bool_or_bm25(spark, sf_dir):
+    """BooleanQuery SHOULD over 2 terms: disjunction score sum
+    (clt/search/mod.rs:36 disjunction_sum_scorer). Two-operand double sum
+    is order-safe (IEEE add is commutative)."""
+    a = _bm25_single_raw(spark, sf_dir, "merge").withColumnRenamed("s", "sa")
+    b = _bm25_single_raw(spark, sf_dir, "window").withColumnRenamed("s", "sb")
+    return (
+        a.join(b, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(F.coalesce("sa", F.lit(0.0)) + F.coalesce("sb", F.lit(0.0)), 4).alias(
+                "score"
+            ),
+        )
+    )
+
+
+def _bm25_single_raw(spark, sf_dir, term):
+    toks = _toks(spark, sf_dir)
+    dl = toks.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(F.count("*").cast("long").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    m = (
+        _flat(spark, sf_dir)
+        .filter(F.col("term") == term)
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("df", F.count("*").over(_w_all()))
+    )
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tfn = F.col("tf") / (F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl")))
+    return m.select("doc_id", (idf * tfn).alias("s"))
+
+
+def _sql_bm25_raw(term: str, cte_prefix: str) -> str:
+    return f"""
+{cte_prefix}_m AS (
+  SELECT fl.doc_id, fl.tf, dl.dl, st.n_docs, st.avgdl, count(*) OVER () AS df
+  FROM fl JOIN dl ON fl.doc_id = dl.doc_id CROSS JOIN st
+  WHERE fl.term = '{term}'
+),
+{cte_prefix} AS (
+  SELECT doc_id, ln(1.0 + (n_docs - df + 0.5)/(df + 0.5))
+       * (tf / (tf + 1.2*(1.0 - 0.75 + 0.75*dl/avgdl))) AS s
+  FROM {cte_prefix}_m
+)"""
+
+
+SQL_FT_BOOL_OR_BM25 = f"""
+WITH tk AS ({_SQL_TOKS}),
+dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tk),
+st AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+fl AS ({_SQL_FLAT}),
+{_sql_bm25_raw("merge", "qa")[1:]},
+{_sql_bm25_raw("window", "qb")[1:]}
+SELECT COALESCE(qa.doc_id, qb.doc_id) AS doc_id,
+       round(COALESCE(qa.s, 0.0) + COALESCE(qb.s, 0.0), 4) AS score
+FROM qa FULL OUTER JOIN qb ON qa.doc_id = qb.doc_id
+"""
+
+
+def ft_bool_and_count(spark, sf_dir):
+    """Conjunction (clt/search/mod.rs:21-23): docs containing both terms."""
+    t = _toks(spark, sf_dir)
+    return t.filter(
+        F.array_contains("toks", "merge") & F.array_contains("toks", "window")
+    ).agg(F.count("*").alias("n_hits"))
+
+
+SQL_FT_BOOL_AND_COUNT = (
+    f"WITH tk AS ({_SQL_TOKS}) SELECT count(*)::BIGINT AS n_hits FROM tk "
+    "WHERE list_contains(toks, 'merge') AND list_contains(toks, 'window')"
+)
+
+
+def ft_bool_not_count(spark, sf_dir):
+    """ReqExclScorer / MUST_NOT (clt/search/mod.rs:118)."""
+    t = _toks(spark, sf_dir)
+    return t.filter(
+        F.array_contains("toks", "merge") & ~F.array_contains("toks", "window")
+    ).agg(F.count("*").alias("n_hits"))
+
+
+SQL_FT_BOOL_NOT_COUNT = (
+    f"WITH tk AS ({_SQL_TOKS}) SELECT count(*)::BIGINT AS n_hits FROM tk "
+    "WHERE list_contains(toks, 'merge') AND NOT list_contains(toks, 'window')"
+)
+
+
+def ft_phrase_count(spark, sf_dir):
+    """PhraseQuery adjacency (clt/search/mod.rs:101) — positional bigram
+    match via posexplode + self-join on pos+1."""
+    t = _toks(spark, sf_dir).select("doc_id", F.posexplode("toks").alias("pos", "term"))
+    a = t.filter(F.col("term") == "merge").select("doc_id", "pos")
+    b = t.filter(F.col("term") == "window").select("doc_id", (F.col("pos") - 1).alias("pos"))
+    return (
+        a.join(b, ["doc_id", "pos"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+SQL_FT_PHRASE_COUNT = f"""
+WITH tk AS ({_SQL_TOKS}),
+pos AS (
+  SELECT doc_id, unnest(toks) AS term, unnest(generate_series(1, len(toks))) AS pos
+  FROM tk
+)
+SELECT count(DISTINCT a.doc_id)::BIGINT AS n_hits
+FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.term = 'merge' AND b.term = 'window'
+"""
+
+
+def ft_term_stats(spark, sf_dir):
+    """Terms dict stats: doc_freq / total_term_freq (clt/index/terms.rs:26-36),
+    top 20 by (df desc, term asc) — integer-exact."""
+    return (
+        _flat(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("doc_freq"), F.sum("tf").cast("long").alias("ttf"))
+        .orderBy(F.desc("doc_freq"), F.asc("term"))
+        .limit(20)
+    )
+
+
+SQL_FT_TERM_STATS = (
+    f"WITH fl AS ({_SQL_FLAT}) SELECT term, count(*)::BIGINT AS doc_freq, "
+    "sum(tf)::BIGINT AS ttf FROM fl GROUP BY term ORDER BY doc_freq DESC, term ASC LIMIT 20"
+)
+
+
+def ft_prefix_count(spark, sf_dir):
+    """PrefixQuery (clt/search/mod.rs:108): docs containing any 'st'-prefixed
+    term; term-dict expansion → semi-join."""
+    return (
+        _flat(spark, sf_dir)
+        .filter(F.col("term").startswith("st"))
+        .select("doc_id")
+        .distinct()
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+SQL_FT_PREFIX_COUNT = (
+    f"WITH fl AS ({_SQL_FLAT}) SELECT count(DISTINCT doc_id)::BIGINT AS n_hits "
+    "FROM fl WHERE term LIKE 'st%'"
+)
+
+
+def ft_range_count(spark, sf_dir):
+    """TermRangeQuery (clt/search/mod.rs:150): distinct terms in [lo, hi)."""
+    return (
+        _flat(spark, sf_dir)
+        .filter((F.col("term") >= "m") & (F.col("term") < "s"))
+        .select("term")
+        .distinct()
+        .agg(F.count("*").alias("n_terms"))
+    )
+
+
+SQL_FT_RANGE_COUNT = (
+    f"WITH fl AS ({_SQL_FLAT}) SELECT count(DISTINCT term)::BIGINT AS n_terms "
+    "FROM fl WHERE term >= 'm' AND term < 's'"
+)
+
+
+def ft_norms(spark, sf_dir):
+    """Norms (doc length per doc) — clt/index/leaf_reader.rs:161-166."""
+    return _toks(spark, sf_dir).select("doc_id", F.size("toks").cast("long").alias("dl"))
+
+
+SQL_FT_NORMS = f"WITH tk AS ({_SQL_TOKS}) SELECT doc_id, len(toks)::BIGINT AS dl FROM tk"
+
+
+def ft_topk_by_tf(spark, sf_dir):
+    """TopFieldCollector analog with integer-deterministic ordering."""
+    return (
+        _flat(spark, sf_dir)
+        .filter(F.col("term") == "merge")
+        .orderBy(F.desc("tf"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "tf")
+    )
+
+
+SQL_FT_TOPK_BY_TF = (
+    f"WITH fl AS ({_SQL_FLAT}) SELECT doc_id, tf FROM fl WHERE term = 'merge' "
+    "ORDER BY tf DESC, doc_id ASC LIMIT 10"
+)
+
+
+# ---------------------------------------------------------------------------
+# Deduplication operators (training-data pipeline)
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: md5(text) hash-groupBy; groups with >1 member."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5(F.col("text")).alias("h"))
+        .agg(F.count("*").cast("long").alias("cnt"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("cnt") > 1)
+    )
+
+
+SQL_DEDUP_EXACT = (
+    "SELECT md5(text) AS h, count(*)::BIGINT AS cnt, min(doc_id) AS keeper "
+    "FROM documents GROUP BY md5(text) HAVING count(*) > 1"
+)
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact token-3-gram Jaccard near-dup pairs (J ≥ 0.5, a < b)."""
+    t = _toks(spark, sf_dir)
+    sh = (
+        t.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 3),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i + 1, 3)),
+                )
+            ).alias("g"),
+        )
+        .filter(F.size(F.split(F.col("g"), " ")) == 3)
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "g")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("sz", "szb"), "b")
+        .withColumn("j", F.round(F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 4))
+        .filter(F.col("j") >= 0.5)
+        .select("a", "b", "j")
+    )
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH tk AS ({_SQL_TOKS}),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS g
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+        FROM tk WHERE len(toks) >= 3)
+),
+sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
+it AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS inter
+  FROM sh x JOIN sh y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT it.a, it.b, round(inter / (sa.sz + sb.sz - inter), 4) AS j
+FROM it JOIN sz sa ON it.a = sa.doc_id JOIN sz sb ON it.b = sb.doc_id
+WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
+"""
+
+
+_N_MINHASH = 4
+
+
+def dedup_minhash(spark, sf_dir):
+    """MinHash signatures (4 permutations via md5-keyed hashes) — the
+    shingle→minhash step of MinHash-LSH dedup. Integer-exact both sides."""
+    t = _toks(spark, sf_dir)
+    sh = t.select("doc_id", F.explode(F.array_distinct("toks")).alias("tok"))
+    aggs = [
+        F.min(F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("tok"))), 1, 15), 16, 10).cast("long")).alias(f"h{i}")
+        for i in range(_N_MINHASH)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+SQL_DEDUP_MINHASH = f"""
+WITH tk AS ({_SQL_TOKS}),
+sh AS (SELECT DISTINCT doc_id, u.tok FROM tk, unnest(toks) AS u(tok))
+SELECT doc_id,
+  {", ".join(f"min(('0x' || substr(md5('{i}:' || tok), 1, 15))::BIGINT) AS h{i}" for i in range(_N_MINHASH))}
+FROM sh GROUP BY doc_id
+"""
+
+
+def dedup_minhash_pairs(spark, sf_dir):
+    """LSH band join (band size 1): candidate pairs sharing any minhash."""
+    sig = dedup_minhash(spark, sf_dir)
+    pairs = None
+    for i in range(_N_MINHASH):
+        a = sig.select(F.col("doc_id").alias("a"), F.col(f"h{i}").alias("h"))
+        b = sig.select(F.col("doc_id").alias("b"), F.col(f"h{i}").alias("h"))
+        p = a.join(b, "h").filter(F.col("a") < F.col("b")).select("a", "b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+SQL_DEDUP_MINHASH_PAIRS = f"""
+WITH tk AS ({_SQL_TOKS}),
+sh AS (SELECT DISTINCT doc_id, u.tok FROM tk, unnest(toks) AS u(tok)),
+sig AS (
+  SELECT doc_id,
+  {", ".join(f"min(('0x' || substr(md5('{i}:' || tok), 1, 15))::BIGINT) AS h{i}" for i in range(_N_MINHASH))}
+  FROM sh GROUP BY doc_id
+)
+SELECT DISTINCT a, b FROM (
+  {" UNION ALL ".join(f"SELECT x.doc_id AS a, y.doc_id AS b FROM sig x JOIN sig y ON x.h{i} = y.h{i} AND x.doc_id < y.doc_id" for i in range(_N_MINHASH))}
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis operators (training-data pipeline)
+# ---------------------------------------------------------------------------
+
+
+def text_token_stats(spark, sf_dir):
+    return _toks(spark, sf_dir).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+    )
+
+
+SQL_TEXT_TOKEN_STATS = (
+    f"WITH tk AS ({_SQL_TOKS}) SELECT doc_id, len(toks)::BIGINT AS n_tokens, "
+    "len(list_distinct(toks))::BIGINT AS n_distinct FROM tk"
+)
+
+
+def text_quality(spark, sf_dir):
+    """Quality heuristics: distinct-token ratio + stopword ratio + mean
+    token length (rounded)."""
+    t = _toks(spark, sf_dir)
+    stop = F.size(F.filter("toks", lambda x: (x == "a") | (x == "the")))
+    total_chars = F.aggregate(
+        "toks", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    return t.filter(F.size("toks") > 0).select(
+        "doc_id",
+        F.round(F.size(F.array_distinct("toks")) / F.size("toks"), 4).alias("distinct_ratio"),
+        F.round(stop / F.size("toks"), 4).alias("stopword_ratio"),
+        F.round(total_chars / F.size("toks"), 4).alias("mean_token_len"),
+    )
+
+
+SQL_TEXT_QUALITY = f"""
+WITH tk AS ({_SQL_TOKS})
+SELECT doc_id,
+  round(len(list_distinct(toks)) / len(toks), 4) AS distinct_ratio,
+  round(len(list_filter(toks, x -> x = 'a' OR x = 'the')) / len(toks), 4) AS stopword_ratio,
+  round(list_sum(list_transform(toks, x -> length(x)))::BIGINT / len(toks), 4) AS mean_token_len
+FROM tk WHERE len(toks) > 0
+"""
+
+
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 over the sorted distinct token set."""
+    return _toks(spark, sf_dir).select(
+        "doc_id",
+        F.md5(F.concat_ws(":", F.array_sort(F.array_distinct("toks")))).alias("fp"),
+    )
+
+
+SQL_TEXT_FINGERPRINT = (
+    f"WITH tk AS ({_SQL_TOKS}) SELECT doc_id, "
+    "md5(array_to_string(list_sort(list_distinct(toks)), ':')) AS fp FROM tk"
+)
+
+
+def text_lang_share(spark, sf_dir):
+    """Language distribution with quality gate (doc length ≥ 20 tokens)."""
+    d = _docs(spark, sf_dir).join(ft_norms(spark, sf_dir), "doc_id")
+    return (
+        d.filter(F.col("dl") >= 20)
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n"), F.sum("dl").cast("long").alias("tokens"))
+        .orderBy("lang")
+    )
+
+
+SQL_TEXT_LANG_SHARE = f"""
+WITH tk AS ({_SQL_TOKS}),
+dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tk)
+SELECT d.lang, count(*)::BIGINT AS n, sum(dl.dl)::BIGINT AS tokens
+FROM documents d JOIN dl ON d.doc_id = dl.doc_id
+WHERE dl.dl >= 20 GROUP BY d.lang ORDER BY d.lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def ann_cosine_scores(spark, sf_dir):
+    """Brute-force cosine of every vector vs the vec_id=0 query vector,
+    double-accumulated in element order (parity-safe), rounded."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    j = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nx = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nq = F.sqrt(
+        F.aggregate(
+            F.transform("qv", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return j.select("vec_id", "label", F.round(dot / (nx * nq), 4).alias("cos"))
+
+
+SQL_ANN_COSINE_SCORES = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, e.label,
+  round(
+    list_sum(list_transform(list_zip(e.embedding::DOUBLE[], q.qv), p -> p[1] * p[2]))
+    / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x)))
+     * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 4) AS cos
+FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Collector / sort analogs on the TPC-H-ish tables (SURVEY.md §2.7-2.8)
+# ---------------------------------------------------------------------------
+
+
+def topk_by_field(spark, sf_dir):
+    """TopFieldCollector (clt/search/mod.rs:157): top-100 orders by
+    (o_totalprice desc, o_orderkey asc) — TakeOrderedAndProject."""
+    o = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+SQL_TOPK_BY_FIELD = (
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100"
+)
+
+
+def agg_partial_final(spark, sf_dir):
+    """Two-phase aggregation (the index-build partial/final pattern,
+    SURVEY.md §2.8) on lineitem."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_AGG_PARTIAL_FINAL = (
+    "SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n, "
+    "round(sum(l_quantity), 2) AS sum_qty, round(avg(l_discount), 6) AS avg_disc "
+    "FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+)
+
+
+def events_windowed(spark, sf_dir):
+    """Tumbling 1h window agg (streaming operator in batch form)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").cast("long").alias("n"), F.round(F.sum("value"), 4).alias("v"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("w_start"),
+            "event_type",
+            "n",
+            "v",
+        )
+        .orderBy("w_start", "event_type")
+    )
+
+
+SQL_EVENTS_WINDOWED = """
+SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS w_start, event_type,
+       count(*)::BIGINT AS n, round(sum(value), 4) AS v
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+GATE: dict[str, tuple] = {
+    "ft_term_count": (ft_term_count, SQL_FT_TERM_COUNT),
+    "ft_bm25_scores": (ft_bm25_scores, SQL_FT_BM25_SCORES),
+    "ft_bool_or_bm25": (ft_bool_or_bm25, SQL_FT_BOOL_OR_BM25),
+    "ft_bool_and_count": (ft_bool_and_count, SQL_FT_BOOL_AND_COUNT),
+    "ft_bool_not_count": (ft_bool_not_count, SQL_FT_BOOL_NOT_COUNT),
+    "ft_phrase_count": (ft_phrase_count, SQL_FT_PHRASE_COUNT),
+    "ft_term_stats": (ft_term_stats, SQL_FT_TERM_STATS),
+    "ft_prefix_count": (ft_prefix_count, SQL_FT_PREFIX_COUNT),
+    "ft_range_count": (ft_range_count, SQL_FT_RANGE_COUNT),
+    "ft_norms": (ft_norms, SQL_FT_NORMS),
+    "ft_topk_by_tf": (ft_topk_by_tf, SQL_FT_TOPK_BY_TF),
+    "dedup_exact": (dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_minhash": (dedup_minhash, SQL_DEDUP_MINHASH),
+    "dedup_minhash_pairs": (dedup_minhash_pairs, SQL_DEDUP_MINHASH_PAIRS),
+    "text_token_stats": (text_token_stats, SQL_TEXT_TOKEN_STATS),
+    "text_quality": (text_quality, SQL_TEXT_QUALITY),
+    "text_fingerprint": (text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "text_lang_share": (text_lang_share, SQL_TEXT_LANG_SHARE),
+    "ann_cosine_scores": (ann_cosine_scores, SQL_ANN_COSINE_SCORES),
+    "topk_by_field": (topk_by_field, SQL_TOPK_BY_FIELD),
+    "agg_partial_final": (agg_partial_final, SQL_AGG_PARTIAL_FINAL),
+    "events_windowed": (events_windowed, SQL_EVENTS_WINDOWED),
+}
