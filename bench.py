@@ -1,0 +1,112 @@
+"""Per-round benchmark (driver contract): index-build throughput +
+BM25 query latency on the synthetic code corpus at a size scaled by
+$SPARK_GRAFT_SF_DIR, on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "build_sec": ..., "files_per_sec": ..., "query_p50_ms": ...}
+
+The two-parallelism scaling protocol (BASELINE.md §4) lives in
+tools/bench_scaling.py and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import re
+import shutil
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+CORPUS_ROWS_PER_SF = 200_000  # FIXTURES.md: bench = 200k rows at sf=0.1 scale 1.0
+
+
+def sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def bench_queries(idx):
+    """Representative slice of the pinned query set (FIXTURES.md §4)."""
+    from lucene_rust_spark.queries import build_query_set
+
+    qs = build_query_set(idx)
+    want = ["q001", "q002", "q003", "q021", "q031", "q034", "q046", "q049", "q061", "q062", "q076", "q080"]
+    return [q for q in qs if q["id"] in want]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_of(sf_dir)
+    n_rows = max(2000, int(CORPUS_ROWS_PER_SF * sf))
+    num_partitions = 256  # fine segments smooth reducer skew
+
+    from lucene_rust_spark.corpus import gen_corpus_pandas, gen_corpus_spark
+    from lucene_rust_spark.index.build import build_index
+    from lucene_rust_spark.oracle.bm25 import build_oracle_index
+    from lucene_rust_spark.queries import build_query_set
+    from lucene_rust_spark.search.searcher import IndexSearcher
+    from lucene_rust_spark.session import get_spark
+
+    spark = get_spark(app="bench", cores=cpus, shuffle_partitions=max(32, cpus), driver_memory="64g")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # corpus to parquet first (generation is not part of build throughput)
+    corpus_dir = f"/tmp/lrs_bench/corpus_{n_rows}"
+    if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
+        gen_corpus_spark(spark, n_rows, num_partitions).write.mode("overwrite").parquet(corpus_dir)
+    src = spark.read.parquet(corpus_dir)
+    spark.range(cpus * 4, numPartitions=cpus * 4).mapInPandas(
+        lambda it: (pdf for pdf in it), schema="id long"
+    ).count()  # warm python workers before timing
+
+    idx_dir = f"/tmp/lrs_bench/index_{n_rows}_{cpus}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    t0 = time.time()
+    manifest = build_index(spark, src, idx_dir, num_partitions=num_partitions)
+    build_sec = time.time() - t0
+    assert manifest["doc_count"] == n_rows
+
+    # query set needs term-df stats → tiny oracle index on a t1-sized sample
+    # (query terms are corpus-level, derived deterministically)
+    sample_idx = build_oracle_index(gen_corpus_pandas(2000), 8)
+    queries = bench_queries(sample_idx)
+
+    searcher = IndexSearcher(spark, idx_dir, cache=True)
+    searcher.search({"type": "term", "term": "warmup_nonexistent"}, 1)  # warm cache
+    q_times: dict[str, float] = {}
+    for q in queries:
+        t1 = time.time()
+        searcher.search(q["query"], q["k"])
+        q_times[q["id"]] = round(time.time() - t1, 4)
+    lat = sorted(q_times.values())
+    p50 = lat[len(lat) // 2]
+
+    total = round(build_sec + sum(q_times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "index-build throughput (files/sec) + BM25 top-10 latency p50",
+                "value": total,
+                "unit": "sec",
+                "queries": q_times,
+                "sf": sf,
+                "corpus_rows": n_rows,
+                "cpus": cpus,
+                "build_sec": round(build_sec, 3),
+                "files_per_sec": round(n_rows / build_sec, 1),
+                "query_p50_ms": round(p50 * 1000, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,14 @@ import json
 import os
 import time
 
+_DEBUG = bool(os.environ.get("LRS_BUILD_DEBUG"))
+
+
+def _dbg(label, t0):
+    if _DEBUG:
+        print(f"[build] {label}: {time.time()-t0:.1f}s", flush=True)
+    return time.time()
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -67,34 +75,88 @@ def assign_doc_ids(df_with_part: DataFrame) -> DataFrame:
 
 # --- tokenize + per-doc term counts (TermsHash analog) ----------------------
 
-_TOKENIZE_SCHEMA = T.StructType(
-    [
-        T.StructField("dl", T.IntegerType()),
-        T.StructField("dlq", T.IntegerType()),
-        T.StructField(
-            "pairs",
-            T.ArrayType(
-                T.StructType(
-                    [T.StructField("term", T.StringType()), T.StructField("tf", T.IntegerType())]
-                )
-            ),
-        ),
-    ]
+_NORMS_SCHEMA = T.StructType(
+    [T.StructField("dl", T.IntegerType()), T.StructField("dlq", T.IntegerType())]
 )
 
 
-@F.pandas_udf(_TOKENIZE_SCHEMA)
-def analyze_udf(content: pd.Series) -> pd.DataFrame:
-    """Arrow-batched: content → (doc length, quantized norm, [(term, tf)]).
-    Per-doc term counting is the map-side partial aggregate — the shuffle
-    then carries (term, tf) pairs, not raw token occurrences."""
-    from collections import Counter
-
+@F.pandas_udf(_NORMS_SCHEMA)
+def norms_udf(content: pd.Series) -> pd.DataFrame:
+    """Arrow-batched: content → (token count, SmallFloat-quantized norm)."""
     toks = tokenize_series(content)
     dl = toks.map(len).astype("int32")
     dlq = pd.Series(K.int_to_byte4(dl.to_numpy()).astype("int32"), index=content.index)
-    pairs = toks.map(lambda ts: sorted(Counter(ts).items()))
-    return pd.DataFrame({"dl": dl, "dlq": dlq, "pairs": pairs})
+    return pd.DataFrame({"dl": dl, "dlq": dlq})
+
+
+_FLAT_SCHEMA = "doc_id long, seg int, dl int, dlq int, term string, tf int"
+
+
+def dlq_sql(col: str = "dl") -> str:
+    """SmallFloat intToByte4 as a pure JVM SQL expression (bit_length via
+    length(bin(v))) — validated equal to kernels.int_to_byte4 over 0..3M."""
+    n = K.NUM_FREE_VALUES
+    v = f"({col} - {n})"
+    return f"""
+CASE WHEN {col} < {n} THEN {col}
+ELSE {n} + (
+  CASE WHEN length(bin({v})) < 4 OR {v} = 0 THEN {v}
+  ELSE (shiftright({v}, length(bin({v})) - 4) & 7)
+       | ((length(bin({v})) - 4 + 1) << 3)
+  END)
+END"""
+
+
+def flat_postings_jvm(d: DataFrame) -> DataFrame:
+    """Tokenize + per-doc term count entirely JVM-side (whole-stage codegen;
+    the preferred path — UDFs are the slow path). Tokenizer: lower, split
+    on (?U)\\W+ (unicode word runs), drop empties and tokens > 255 chars —
+    same pinned analyzer spec as functions/analysis.py (FIXTURES.md §2);
+    rank-identity tests prove equivalence with the Python oracle."""
+    toks = d.select(
+        "doc_id",
+        "part",
+        F.explode(F.split(F.lower("content"), r"(?U)\W+")).alias("term"),
+    ).filter((F.col("term") != "") & (F.length("term") <= 255))
+    flat = toks.groupBy("doc_id", "part", "term").agg(F.count("*").cast("int").alias("tf"))
+    w_doc = Window.partitionBy("doc_id")
+    return flat.select(
+        "doc_id",
+        F.col("part").alias("seg"),
+        F.sum("tf").over(w_doc).cast("int").alias("dl"),
+        "term",
+        "tf",
+    ).withColumn("dlq", F.expr(dlq_sql("dl")).cast("int"))
+
+
+def _flatten_postings(batches):
+    """mapInPandas kernel: (doc_id, part, content) → flat posting rows
+    (doc_id, seg, dlq, term, tf). Per-doc term counting here is the
+    map-side partial aggregate (TermsHash/FreqProxTermsWriter,
+    clt/index/mod.rs:57-59): the shuffle carries one row per distinct
+    (doc, term), not per token occurrence. Output is flat primitive
+    columns — nested Arrow types never cross the JVM boundary (they
+    dominated build cost when they did)."""
+    from collections import Counter
+    from itertools import chain
+
+    for pdf in batches:
+        toks = tokenize_series(pdf["content"])
+        counters = [sorted(Counter(ts).items()) for ts in toks]
+        lens = np.fromiter((len(c) for c in counters), dtype=np.int64, count=len(counters))
+        dl = np.fromiter((len(ts) for ts in toks), dtype=np.int64, count=len(toks))
+        dlq = K.int_to_byte4(dl).astype(np.int32)
+        flat = list(chain.from_iterable(counters))
+        yield pd.DataFrame(
+            {
+                "doc_id": np.repeat(pdf["doc_id"].to_numpy(np.int64), lens),
+                "seg": np.repeat(pdf["part"].to_numpy(np.int32), lens),
+                "dl": np.repeat(dl.astype(np.int32), lens),
+                "dlq": np.repeat(dlq, lens),
+                "term": [t for t, _ in flat],
+                "tf": np.fromiter((tf for _, tf in flat), dtype=np.int32, count=len(flat)),
+            }
+        )
 
 
 # --- posting block packing (FOR blocks of 128; for_util.rs:1) ----------------
@@ -134,53 +196,193 @@ def pack_blocks(term: str, seg: int, docs: np.ndarray, tfs: np.ndarray, dlqs: np
     return rows
 
 
+def _pack_runs(term_arr, seg_arr, docs, tfs, dlqs, term_values=None) -> pd.DataFrame | None:
+    """Vectorized block packing for a (term, seg, doc_id)-sorted slice that
+    contains only COMPLETE runs. Block boundaries + per-block stats are
+    computed with numpy reduceat over the whole slice; only the 3 bit-pack
+    calls per block remain per-block Python."""
+    n = len(docs)
+    if n == 0:
+        return None
+    change = np.flatnonzero((term_arr[1:] != term_arr[:-1]) | (seg_arr[1:] != seg_arr[:-1]))
+    run_starts = np.concatenate(([0], change + 1))
+    run_ends = np.concatenate((change + 1, [n]))
+    bstarts = np.concatenate(
+        [np.arange(s, e, K.BLOCK_SIZE, dtype=np.int64) for s, e in zip(run_starts, run_ends)]
+    )
+    nblocks_per_run = ((run_ends - run_starts) + K.BLOCK_SIZE - 1) // K.BLOCK_SIZE
+    bends = np.minimum(bstarts + K.BLOCK_SIZE, np.repeat(run_ends, nblocks_per_run))
+    first_block_of_run = np.concatenate(([0], np.cumsum(nblocks_per_run)[:-1]))
+    block_no = np.arange(len(bstarts)) - np.repeat(first_block_of_run, nblocks_per_run)
+    # per-block aggregates (blocks tile the slice, so reduceat segments align)
+    max_tf = np.maximum.reduceat(tfs, bstarts)
+    sum_tf = np.add.reduceat(tfs, bstarts)
+    min_dlq = np.minimum.reduceat(dlqs, bstarts)
+    # doc deltas: global diff, zeroed at block starts (first_doc is absolute)
+    deltas = np.empty(n, dtype=np.int64)
+    deltas[0] = 0
+    deltas[1:] = docs[1:] - docs[:-1]
+    deltas[bstarts] = 0
+    deltas_u = deltas.astype(np.uint64)
+    tfs_u = tfs.astype(np.uint64)
+    dlq_u8 = dlqs.astype(np.uint8)
+    docs_bin = [K.for_pack(deltas_u[s:e]) for s, e in zip(bstarts, bends)]
+    tfs_bin = [K.for_pack(tfs_u[s:e]) for s, e in zip(bstarts, bends)]
+    dlq_bin = [dlq_u8[s:e].tobytes() for s, e in zip(bstarts, bends)]
+    out_terms = term_arr[bstarts] if term_values is None else term_values[term_arr[bstarts]]
+    return pd.DataFrame(
+        {
+            "term": out_terms,
+            "seg": seg_arr[bstarts].astype(np.int32),
+            "block_no": block_no.astype(np.int32),
+            "n": (bends - bstarts).astype(np.int32),
+            "first_doc": docs[bstarts],
+            "last_doc": docs[bends - 1],
+            "max_tf": max_tf.astype(np.int32),
+            "min_dlq": min_dlq.astype(np.int32),
+            "sum_tf": sum_tf.astype(np.int64),
+            "docs_bin": docs_bin,
+            "tfs_bin": tfs_bin,
+            "dlq_bin": dlq_bin,
+        }
+    )
+
+
 def _pack_partition(batches):
     """mapInPandas kernel: the input partition is sorted by
     (term, seg, doc_id), so (term, seg) posting lists are contiguous runs.
     Stream batches, carry the possibly-split tail run across batch
-    boundaries, and pack complete runs with numpy slicing — one Python
-    call per Arrow batch instead of one per (term, seg) group."""
-    pend = None  # (term, seg, docs, tfs, dlqs) columns of the unfinished tail
+    boundaries, pack complete runs vectorized (_pack_runs)."""
+    pend = None  # columns of the unfinished tail run
 
-    def emit(term_arr, seg_arr, docs, tfs, dlqs, flush_tail: bool):
-        nonlocal pend
-        out = []
-        if len(term_arr) == 0:
-            return out
-        # run boundaries where (term, seg) changes
-        change = np.flatnonzero(
-            (term_arr[1:] != term_arr[:-1]) | (seg_arr[1:] != seg_arr[:-1])
-        )
-        starts = np.concatenate(([0], change + 1))
-        ends = np.concatenate((change + 1, [len(term_arr)]))
-        last = len(starts) - 1
-        for i, (s, e) in enumerate(zip(starts, ends)):
-            if i == last and not flush_tail:
-                pend = (term_arr[s:e], seg_arr[s:e], docs[s:e], tfs[s:e], dlqs[s:e])
-                break
-            out.extend(pack_blocks(term_arr[s], int(seg_arr[s]), docs[s:e], tfs[s:e], dlqs[s:e]))
-        return out
+    def split_tail(term_arr, seg_arr, docs, tfs, dlqs):
+        """Return (complete part, tail run) — tail may continue next batch."""
+        n = len(term_arr)
+        last_t, last_s = term_arr[n - 1], seg_arr[n - 1]
+        same = (term_arr == last_t) & (seg_arr == last_s)
+        # runs are contiguous: tail start = first index of the final run
+        tail_start = n - int(same[::-1].argmin()) if not same.all() else 0
+        if same.all():
+            tail_start = 0
+        return tail_start
 
     for pdf in batches:
-        term_arr = pdf["term"].to_numpy()
-        seg_arr = pdf["seg"].to_numpy(np.int64)
-        docs = pdf["doc_id"].to_numpy(np.int64)
-        tfs = pdf["tf"].to_numpy(np.int64)
-        dlqs = pdf["dlq"].to_numpy(np.int64)
+        cols = (
+            pdf["term"].to_numpy(),
+            pdf["seg"].to_numpy(np.int64),
+            pdf["doc_id"].to_numpy(np.int64),
+            pdf["tf"].to_numpy(np.int64),
+            pdf["dlq"].to_numpy(np.int64),
+        )
         if pend is not None:
-            term_arr = np.concatenate((pend[0], term_arr))
-            seg_arr = np.concatenate((pend[1], seg_arr))
-            docs = np.concatenate((pend[2], docs))
-            tfs = np.concatenate((pend[3], tfs))
-            dlqs = np.concatenate((pend[4], dlqs))
+            cols = tuple(np.concatenate((a, b)) for a, b in zip(pend, cols))
             pend = None
-        rows = emit(term_arr, seg_arr, docs, tfs, dlqs, flush_tail=False)
-        if rows:
-            yield pd.DataFrame(rows)
-    if pend is not None:
-        rows = emit(*pend, flush_tail=True)
-        if rows:
-            yield pd.DataFrame(rows)
+        ts = split_tail(*cols)
+        pend = tuple(c[ts:] for c in cols)
+        out = _pack_runs(*(c[:ts] for c in cols))
+        if out is not None and len(out):
+            yield out
+    if pend is not None and len(pend[0]):
+        out = _pack_runs(*pend)
+        if out is not None and len(out):
+            yield out
+
+
+
+
+def _count_batch(doc_ids: np.ndarray, parts: np.ndarray, content: pd.Series):
+    """Vectorized per-batch term counting: returns flat pair arrays
+    (doc_id, seg, dlq, term(object), tf) + per-doc (doc_id, part, dl, dlq)."""
+    toks = tokenize_series(content)
+    lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+    dl = lens
+    dlq = K.int_to_byte4(dl)
+    total = int(lens.sum())
+    if total == 0:
+        empty = np.zeros(0, dtype=np.int64)
+        return (empty, empty.astype(np.int32), empty.astype(np.uint8),
+                empty, empty.astype(np.int32), np.zeros(0, dtype=object))
+    all_tokens = np.empty(total, dtype=object)
+    pos = 0
+    for t in toks:
+        n = len(t)
+        all_tokens[pos : pos + n] = t
+        pos += n
+    codes, uniques = pd.factorize(all_tokens)
+    n_u = len(uniques)
+    doc_idx_rep = np.repeat(np.arange(len(doc_ids), dtype=np.int64), lens)
+    key = doc_idx_rep * n_u + codes
+    uk, counts = np.unique(key, return_counts=True)
+    pair_doc_idx = uk // n_u
+    pair_code = (uk % n_u).astype(np.int64)
+    return (
+        doc_ids[pair_doc_idx],
+        parts[pair_doc_idx].astype(np.int32),
+        dlq[pair_doc_idx].astype(np.uint8),
+        pair_code,
+        counts.astype(np.int32),
+        np.asarray(uniques, dtype=object),
+    )
+
+
+def _dwpt_partition(batches):
+    """mapInPandas kernel — the DocumentsWriterPerThread analog
+    (clt/index/mod.rs:33): this task holds complete segments (docs are
+    hash-routed by part), accumulates per-doc term counts across Arrow
+    batches, then sorts (term, seg, doc_id) ONCE in numpy and emits
+    FOR-packed block rows. Only packed blocks leave the task, so the
+    downstream shuffle carries ~n_postings/128 rows. Memory is bounded by
+    the segment size (num_partitions is the flush-by-RAM knob)."""
+    acc = []
+    vocab: dict = {}
+    vocab_list: list = []
+    for pdf in batches:
+        docs_b, segs_b, dlqs_b, codes_b, tfs_b, uniques_b = _count_batch(
+            pdf["doc_id"].to_numpy(np.int64),
+            pdf["part"].to_numpy(np.int64),
+            pdf["content"],
+        )
+        # remap batch-local term codes into the task-level vocabulary
+        remap = np.empty(len(uniques_b), dtype=np.int64)
+        for j, term in enumerate(uniques_b):
+            c = vocab.get(term)
+            if c is None:
+                c = len(vocab_list)
+                vocab[term] = c
+                vocab_list.append(term)
+            remap[j] = c
+        acc.append((docs_b, segs_b, dlqs_b, remap[codes_b] if len(codes_b) else codes_b, tfs_b))
+    if not acc:
+        return
+    docs = np.concatenate([a[0] for a in acc])
+    if len(docs) == 0:
+        return
+    segs = np.concatenate([a[1] for a in acc]).astype(np.int64)
+    dlqs = np.concatenate([a[2] for a in acc]).astype(np.int64)
+    codes = np.concatenate([a[3] for a in acc]).astype(np.int64)
+    tfs = np.concatenate([a[4] for a in acc]).astype(np.int64)
+    del acc
+    # integer lexsort (term-code, seg, doc) — string order is applied later
+    # by the global term-range shuffle, so code order inside a task is fine
+    order = np.lexsort((docs, segs, codes))
+    vocab_arr = np.asarray(vocab_list, dtype=object)
+    out = _pack_runs(
+        codes[order], segs[order], docs[order], tfs[order], dlqs[order], term_values=vocab_arr
+    )
+    if out is not None and len(out):
+        step = 65536
+        for i in range(0, len(out), step):
+            yield out.iloc[i : i + step]
+
+
+def norms_jvm(d: DataFrame) -> DataFrame:
+    """(doc_id, dl, dlq) without explode or Python: dl = size of the
+    filtered token array; dlq via the SmallFloat SQL expression."""
+    toks = F.split(F.lower("content"), r"(?U)\W+")
+    dl = F.size(F.filter(toks, lambda x: (x != "") & (F.length(x) <= 255)))
+    return d.select("doc_id", dl.alias("dl")).withColumn(
+        "dlq", F.expr(dlq_sql("dl")).cast("int")
+    )
 
 
 # --- build -------------------------------------------------------------------
@@ -193,6 +395,8 @@ def build_index(
     num_partitions: int = 32,
     num_groups: int = 1,
     resume: bool = True,
+    shuffle_width: int | None = None,
+    analyzer: str = "dwpt",
 ) -> dict:
     """Build the full index under out_dir. Returns the committed manifest.
 
@@ -202,6 +406,10 @@ def build_index(
     build resumes from completed group checkpoints (north_rule
     resumability; the checkpoint file is the SegmentCommitInfo analog)."""
     t_start = time.time()
+    # shuffle_width = physical task fan-out for the heavy stages; decoupled
+    # from num_partitions (the logical segment count) so CPU-bound kernel
+    # stages always use every core regardless of AQE coalescing
+    width = shuffle_width or spark.sparkContext.defaultParallelism
     os.makedirs(os.path.join(out_dir, "checkpoints"), exist_ok=True)
     docs = with_partition(source, num_partitions)
     group_stats = []
@@ -211,13 +419,14 @@ def build_index(
             with open(ck_path) as f:
                 group_stats.append(json.load(f))
             continue
-        group_stats.append(_build_group(docs, out_dir, g, num_groups, num_partitions))
+        group_stats.append(_build_group(docs, out_dir, g, num_groups, width, analyzer))
         with open(ck_path + ".tmp", "w") as f:
             json.dump(group_stats[-1], f)
         os.replace(ck_path + ".tmp", ck_path)  # atomic per-group checkpoint
 
     # global term dictionary (the OrdinalMap/global-terms analog,
     # clt/index/ordinal_map.rs) — tiny relative to corpus, one extra agg
+    t_terms = time.time()
     postings = spark.read.parquet(os.path.join(out_dir, "postings"))
     (
         postings.groupBy("term")
@@ -231,6 +440,7 @@ def build_index(
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "terms"))
     )
+    _dbg("terms", t_terms)
 
     doc_count = sum(gs["doc_count"] for gs in group_stats)
     sum_ttf = sum(gs["sum_ttf"] for gs in group_stats)
@@ -253,63 +463,75 @@ def build_index(
 
 
 def _build_group(
-    docs_with_part: DataFrame, out_dir: str, g: int, num_groups: int, num_partitions: int
+    docs_with_part: DataFrame, out_dir: str, g: int, num_groups: int, width: int,
+    analyzer: str = "dwpt",
 ) -> dict:
     """Build one checkpoint group: segments for parts ≡ g (mod num_groups).
     The part filter sits below the docID window (same partitionBy key), so
     each group job shuffles only its own slice of the corpus."""
     d = docs_with_part.filter(F.col("part") % num_groups == g) if num_groups > 1 else docs_with_part
-    d = assign_doc_ids(d)
-    analyzed = d.select(
-        "doc_id",
-        "part",
-        "repo",
-        "path",
-        "commit",
-        "lang",
-        F.sha2(F.col("content"), 256).alias("content_sha256"),
-        analyze_udf(F.col("content")).alias("a"),
-    ).select(
-        "doc_id", "part", "repo", "path", "commit", "lang", "content_sha256",
-        "a.dl", "a.dlq", "a.pairs",
-    )
-    analyzed = analyzed.persist()
+    d = assign_doc_ids(d).persist()
 
     def gdir(name: str) -> str:
         return os.path.join(out_dir, name, f"group={g}")
 
-    # norms + doc map (row-store role stays with the source table; docmap
-    # carries identity + the per-row sha256 integrity hash, SURVEY.md §1.4)
-    analyzed.select("doc_id", "dl", "dlq").repartitionByRange(
-        max(1, num_partitions // 4), "doc_id"
-    ).sortWithinPartitions("doc_id").write.mode("overwrite").parquet(gdir("norms"))
-    analyzed.select(
-        "doc_id", "repo", "path", "commit", "lang", "content_sha256"
-    ).repartitionByRange(max(1, num_partitions // 4), "doc_id").sortWithinPartitions(
+    t = time.time()
+    # doc map: identity + per-row sha256 integrity hash — pure JVM, no UDF
+    # (row-store role stays with the source table, SURVEY.md §1.4)
+    docmap = d.select(
+        "doc_id", "part", "repo", "path", "commit", "lang",
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+    ).persist()
+    docmap.drop("part").repartitionByRange(max(1, width // 4), "doc_id").sortWithinPartitions(
         "doc_id"
     ).write.mode("overwrite").parquet(gdir("docmap"))
+    t = _dbg("docmap", t)
 
-    # flat postings → per-(term, seg) FOR blocks
-    flat = analyzed.select(
-        "doc_id", F.col("part").alias("seg"), "dlq", F.explode("pairs").alias("p")
-    ).select("doc_id", "seg", "dlq", F.col("p.term").alias("term"), F.col("p.tf").alias("tf"))
-    # range-partition by term (global term order → parquet row-group pruning
-    # at query time), sort runs contiguous, stream-pack per partition. The
-    # sortWithinPartitions is Spark's spill-aware external sort — the
-    # segment-flush analog that never holds a posting list in Python until
-    # it is block-sized.
-    blocks = (
-        flat.repartitionByRange(max(1, num_partitions // 2), "term")
-        .sortWithinPartitions("term", "seg", "doc_id")
-        .mapInPandas(_pack_partition, schema=_BLOCK_SCHEMA)
-    )
-    blocks.write.mode("overwrite").parquet(gdir("postings"))
+    # norms: JVM-only (no explode, no shuffle) — dl + SmallFloat dlq
+    norms = norms_jvm(d).persist()
+    norms.repartitionByRange(max(1, width // 4), "doc_id").sortWithinPartitions(
+        "doc_id"
+    ).write.mode("overwrite").parquet(gdir("norms"))
+    t = _dbg("norms", t)
 
+    # postings: DWPT-per-task local build → packed blocks → ONE shuffle of
+    # block rows into global term-range order (the hierarchical merge:
+    # Spark's range shuffle IS the k-way term merge, SURVEY.md §2.3)
+    if analyzer == "jvm":
+        flat = flat_postings_jvm(d)
+        blocks_local = (
+            flat.repartitionByRange(width, "term")
+            .sortWithinPartitions("term", "seg", "doc_id")
+            .mapInPandas(_pack_partition, schema=_BLOCK_SCHEMA)
+        )
+        blocks_local.write.mode("overwrite").parquet(gdir("postings"))
+    else:
+        # d is already hash-partitioned by part (the docID window shuffle),
+        # and persisted — each cached partition holds complete segments, so
+        # no second content shuffle is needed
+        routed = d.select("doc_id", "part", "content")
+        # persist before repartitionByRange: the range sampling pass would
+        # otherwise re-run the whole DWPT kernel a second time
+        blocks = routed.mapInPandas(_dwpt_partition, schema=_BLOCK_SCHEMA).persist()
+        (
+            blocks.repartitionByRange(width, "term")
+            .sortWithinPartitions("term", "seg", "block_no")
+            .write.mode("overwrite")
+            .parquet(gdir("postings"))
+        )
+        blocks.unpersist()
+    t = _dbg("postings", t)
+
+    seg_ttf = {
+        int(r["seg"]): int(r["ttf"])
+        for r in norms.groupBy(F.shiftright("doc_id", PARTITION_SHIFT).alias("seg"))
+        .agg(F.sum("dl").alias("ttf"))
+        .collect()
+    }
     seg_rows = (
-        analyzed.groupBy("part")
+        docmap.groupBy("part")
         .agg(
             F.count("*").alias("max_doc"),
-            F.sum("dl").alias("sum_ttf"),
             F.min("doc_id").alias("doc_base"),
             F.bit_xor(F.conv(F.substring("content_sha256", 1, 15), 16, 10).cast("long")).alias(
                 "sha_xor"
@@ -317,12 +539,15 @@ def _build_group(
         )
         .collect()
     )
-    analyzed.unpersist()
+    t = _dbg("seg_stats", t)
+    norms.unpersist()
+    docmap.unpersist()
+    d.unpersist()
     segments = [
         {
             "seg": int(r["part"]),
             "max_doc": int(r["max_doc"]),
-            "sum_ttf": int(r["sum_ttf"]),
+            "sum_ttf": seg_ttf.get(int(r["part"]), 0),
             "doc_base": int(r["doc_base"]),
             "del_count": 0,
             "content_sha256_xor": format(int(r["sha_xor"]) & 0xFFFFFFFFFFFFFFFF, "016x"),

@@ -56,7 +56,8 @@ class IndexSearcher:
         self.manifest = read_manifest(index_dir)
         if self.manifest is None:
             raise FileNotFoundError(f"no manifest in {index_dir}")
-        self.postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+        postings_dir = self.manifest.get("postings_dir", "postings")
+        self.postings = spark.read.parquet(os.path.join(index_dir, postings_dir))
         self.terms = spark.read.parquet(os.path.join(index_dir, "terms"))
         self.docmap = spark.read.parquet(os.path.join(index_dir, "docmap"))
         if cache:
@@ -172,11 +173,21 @@ class IndexSearcher:
         if not scoring:
             return self._empty_result()
 
-        if prune and not must_not and len(scoring) >= 1 and msm == 0 and not must_set:
+        if (
+            prune
+            and not must_not
+            and msm == 0
+            and not must_set
+            and search_after is None
+        ):
             from lucene_rust_spark.search.wand import wand_candidates
 
-            blocks = wand_candidates(self, scoring, stats, k, search_after)
+            blocks, cand = wand_candidates(self, scoring, stats, k)
             scored = self._scored_postings(scoring, stats, blocks=blocks)
+            if cand is not None:
+                scored = scored.join(
+                    F.broadcast(cand), scored.doc_id == cand.cand, "left_semi"
+                )
         else:
             scored = self._scored_postings(scoring, stats)
 

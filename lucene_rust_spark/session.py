@@ -22,6 +22,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        .config("spark.local.dir", "/dev/shm/lrs_spark_local")
+        # JDK17's default G1 caps allocation-heavy stages (tokenize/explode)
+        # at ~8-thread throughput in local mode; ParallelGC restores linear
+        # scaling (measured 5x on the tokenize stage at local[32])
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.driver.memory", driver_memory)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -1,0 +1,124 @@
+"""Hierarchical merge (associativity + invariants) and block-max WAND
+(pruning on/off equivalence) — SURVEY.md §5.3-5.4."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def merged_index(spark, tmp_path_factory):
+    """A fresh small index (16 segments) merged with fan_in=4."""
+    import shutil
+
+    from lucene_rust_spark.corpus import gen_corpus_spark
+    from lucene_rust_spark.index.build import build_index
+    from lucene_rust_spark.index.merge import merge_segments
+
+    out = str(tmp_path_factory.mktemp("merge") / "idx")
+    src = gen_corpus_spark(spark, 800, 8)
+    build_index(spark, src, out, num_partitions=16)
+    manifest = merge_segments(spark, out, fan_in=4)
+    return out, manifest
+
+
+def _postings_flat(spark, path):
+    """Decode a postings dir to a comparable pandas frame."""
+    from lucene_rust_spark.functions import kernels as K
+
+    pdf = spark.read.parquet(path).toPandas()
+    rows = []
+    for r in pdf.itertuples():
+        docs = np.int64(r.first_doc) + np.cumsum(K.for_unpack(bytes(r.docs_bin), r.n)).astype(np.int64)
+        tfs = K.for_unpack(bytes(r.tfs_bin), r.n)
+        dlqs = np.frombuffer(bytes(r.dlq_bin), dtype=np.uint8)
+        for d, t, q in zip(docs, tfs, dlqs):
+            rows.append((r.term, int(d), int(t), int(q)))
+    import pandas as pd
+
+    return (
+        pd.DataFrame(rows, columns=["term", "doc_id", "tf", "dlq"])
+        .sort_values(["term", "doc_id"])
+        .reset_index(drop=True)
+    )
+
+
+def test_merge_preserves_postings(spark, merged_index):
+    import os
+
+    out, manifest = merged_index
+    before = _postings_flat(spark, os.path.join(out, "postings"))
+    after = _postings_flat(spark, os.path.join(out, manifest["postings_dir"]))
+    assert before.equals(after)
+    assert manifest["generation"] == 2
+    assert len(manifest["segments"]) == 4  # 16 segs / fan_in 4
+    assert sum(s["max_doc"] for s in manifest["segments"]) == 800
+
+
+def test_merge_associativity(spark, merged_index):
+    """One 16->1 merge == hierarchical 16->4->1 (same decoded postings)."""
+    import os
+
+    from lucene_rust_spark.index.merge import merge_segments
+
+    out, _ = merged_index
+    m2 = merge_segments(spark, out, fan_in=4)  # 4 -> 1, on top of 16 -> 4
+    hier = _postings_flat(spark, os.path.join(out, m2["postings_dir"]))
+    assert len(m2["segments"]) == 1
+    before = _postings_flat(spark, os.path.join(out, "postings"))
+    assert before.equals(hier)
+
+
+def test_merged_index_rank_identity(spark, merged_index, oracle_idx):
+    """Searches on the merged index still match... the merged fixture uses a
+    different corpus (800 docs), so compare merged vs pre-merge engine."""
+    from lucene_rust_spark.oracle.bm25 import bool_query, term_query
+    from lucene_rust_spark.search.searcher import IndexSearcher
+
+    out, _ = merged_index
+    s = IndexSearcher(spark, out)
+    # pre-merge searcher: force original postings dir
+    s_pre = IndexSearcher(spark, out)
+    s_pre.postings = spark.read.parquet(out + "/postings")
+    for q in [term_query("token"), bool_query(should=["token", "index", "value"])]:
+        assert s.search(q, 10) == s_pre.search(q, 10)
+
+
+def test_wand_equals_exact(searcher, golden_queries, golden_results):
+    """Pruning on == pruning off (exact docIDs and scores) on every pure-OR
+    and single-term query in the pinned set."""
+    checked = 0
+    for q in golden_queries:
+        query = q["query"]
+        if q.get("search_after_page"):
+            continue
+        if query["type"] == "bool" and (
+            query.get("must") or query.get("must_not") or query.get("min_should_match")
+        ):
+            continue
+        got = searcher.search(query, q["k"], prune=True)
+        want = [
+            (int(d), float(np.float32(s))) for d, s in golden_results[q["id"]]
+        ]
+        assert got == want, q["id"]
+        checked += 1
+    assert checked >= 30
+
+
+def test_wand_candidate_restriction(searcher):
+    """The pruning pass engages (doesn't always fall back) and restricts
+    candidates to a strict subset of matching docs for small k. Block-count
+    reduction is corpus-dependent (t1 is tiny and dense: every 128-doc
+    block spans most candidates), so it is asserted at bench scale instead
+    (tools/bench_scaling.py reports pruning ratio)."""
+    from lucene_rust_spark.oracle.bm25 import bool_query
+    from lucene_rust_spark.search.wand import wand_candidates
+
+    should = ["value", "token"]
+    stats = searcher.term_stats(should)
+    blocks, cand = wand_candidates(searcher, sorted(should), stats, 1)
+    assert cand is not None, "pruning fell back to exact on a dense query"
+    n_cand = cand.count()
+    n_match = searcher.count(bool_query(should=should))
+    assert 1 <= n_cand < n_match, (n_cand, n_match)
+    assert blocks.count() <= searcher.postings.filter(F.col("term").isin(should)).count()
