@@ -62,7 +62,37 @@ def _engine_msm_count(spark, sf_dir):
     return count_df(spark, gate_searcher(spark, sf_dir).count(q))
 
 
+def _engine_prefix_count(spark, sf_dir):
+    from lucene_rust_spark.entry_helpers import count_df, gate_searcher
+
+    q = {"type": "prefix", "prefix": "st"}
+    return count_df(spark, gate_searcher(spark, sf_dir).count(q))
+
+
+def _engine_fuzzy_count(spark, sf_dir):
+    from lucene_rust_spark.entry_helpers import count_df, gate_searcher
+
+    q = {"type": "fuzzy", "term": "merje", "max_edits": 1}
+    return count_df(spark, gate_searcher(spark, sf_dir).count(q))
+
+
+_TOKS_CTE = (
+    "WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),"
+    " '[^a-z0-9_]+'), x -> x <> '') AS toks FROM documents)"
+)
+
 _ENGINE_QUERIES = {
+    "engine_prefix_count": (
+        _engine_prefix_count,
+        f"{_TOKS_CTE} SELECT count(*)::BIGINT AS n_hits FROM tk "
+        "WHERE len(list_filter(toks, x -> x LIKE 'st%')) > 0",
+    ),
+    "engine_fuzzy_count": (
+        _engine_fuzzy_count,
+        # same expansion semantics: terms within edit distance 1 of 'merje'
+        f"{_TOKS_CTE} SELECT count(*)::BIGINT AS n_hits FROM tk "
+        "WHERE len(list_filter(toks, x -> levenshtein(x, 'merje') <= 1)) > 0",
+    ),
     "engine_term_count": (
         _engine_term_count,
         "WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),"

@@ -237,3 +237,30 @@ def bm25_upper_bound(max_tf: np.ndarray, min_norm_byte: np.ndarray, idf: np.ndar
     """Per-block score upper bound (block-max WAND): monotone in tf (↑)
     and dl (↓), so (max_tf, min_dl) bounds every posting in the block."""
     return bm25_score(max_tf, min_norm_byte, idf, cache)
+
+
+def f32_ordered_sum(scores) -> np.float32:
+    """Pinned combination: float32 left-fold in the given (ascending-term)
+    order — shared by engine UDF and oracle."""
+    acc = np.float32(0.0)
+    for x in scores:
+        acc = np.float32(acc + np.float32(x))
+    return acc
+
+
+def dismax_combine(scores_term_sorted, tie: float) -> np.float32:
+    """DisjunctionMaxQuery combiner (clt/search/mod.rs:32-33 [stub]):
+    max + tie * sum(others), float32, others summed in ascending-term
+    order skipping the first occurrence of the max."""
+    if not len(scores_term_sorted):
+        return np.float32(0.0)
+    arr = [np.float32(x) for x in scores_term_sorted]
+    m = max(arr)
+    skipped = False
+    acc = np.float32(0.0)
+    for x in arr:
+        if not skipped and x == m:
+            skipped = True
+            continue
+        acc = np.float32(acc + x)
+    return np.float32(m + np.float32(np.float32(tie) * acc))

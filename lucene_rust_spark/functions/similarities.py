@@ -1,0 +1,86 @@
+"""Pluggable similarities (SURVEY.md §2.6). Reference surface:
+clt/search/similarities/mod.rs:1-46 (BM25 / Classic TF-IDF / Boolean and
+the DFR/IB/LM families, all [stub]). Each similarity is a pair of float32
+kernels (idf, per-posting score) shared verbatim by the Spark decode kernel
+and the oracle — the same construction that makes BM25 rank-identity hold.
+
+Semantics pinned here (the reference files are stubs):
+- bm25     : FIXTURES.md §3 (Lucene 9 formula, quantized norms)
+- classic  : sqrt(tf) * idf^2 / sqrt(dl), idf = 1 + ln(N / (df + 1)),
+             dl = SmallFloat-decoded doc length (>= 1)
+- boolean  : matching docs score 1.0 (BooleanSimilarity)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from lucene_rust_spark.functions import kernels as K
+
+
+class Similarity:
+    name = "base"
+
+    def __init__(self, doc_count: int, sum_ttf: int):
+        self.doc_count = doc_count
+        self.avgdl = np.float32(np.float64(sum_ttf) / np.float64(max(doc_count, 1)))
+
+    def idf(self, doc_freq: int) -> np.float32:
+        raise NotImplementedError
+
+    def score(self, tf: np.ndarray, dlq: np.ndarray, idf: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+
+class BM25(Similarity):
+    name = "bm25"
+
+    def __init__(self, doc_count: int, sum_ttf: int):
+        super().__init__(doc_count, sum_ttf)
+        self.cache = K.bm25_norm_cache(self.avgdl)
+
+    def idf(self, doc_freq: int) -> np.float32:
+        return K.bm25_idf(doc_freq, self.doc_count)
+
+    def score(self, tf, dlq, idf):
+        return K.bm25_score(tf, dlq, idf, self.cache)
+
+    def upper_bound(self, max_tf, min_dlq, idf):
+        return K.bm25_upper_bound(max_tf, min_dlq, idf, self.cache)
+
+
+class ClassicTFIDF(Similarity):
+    name = "classic"
+
+    def __init__(self, doc_count: int, sum_ttf: int):
+        super().__init__(doc_count, sum_ttf)
+        dl = np.maximum(K.byte4_to_int(np.arange(256)), 1).astype(np.float32)
+        self.inv_sqrt_dl = (np.float32(1.0) / np.sqrt(dl)).astype(np.float32)
+
+    def idf(self, doc_freq: int) -> np.float32:
+        n = np.float64(self.doc_count)
+        return np.float32(np.float32(1.0) + np.float32(np.log(n / np.float64(doc_freq + 1))))
+
+    def score(self, tf, dlq, idf):
+        tfn = np.sqrt(tf.astype(np.float32)).astype(np.float32)
+        i = idf.astype(np.float32)
+        return (tfn * (i * i) * self.inv_sqrt_dl[np.asarray(dlq, dtype=np.int64) & 0xFF]).astype(
+            np.float32
+        )
+
+
+class Boolean(Similarity):
+    name = "boolean"
+
+    def idf(self, doc_freq: int) -> np.float32:
+        return np.float32(1.0)
+
+    def score(self, tf, dlq, idf):
+        return np.ones(len(tf), dtype=np.float32)
+
+
+SIMILARITIES = {"bm25": BM25, "classic": ClassicTFIDF, "boolean": Boolean}
+
+
+def get_similarity(name: str, doc_count: int, sum_ttf: int) -> Similarity:
+    return SIMILARITIES[name](doc_count, sum_ttf)

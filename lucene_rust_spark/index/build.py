@@ -163,7 +163,8 @@ def _flatten_postings(batches):
 
 _BLOCK_SCHEMA = (
     "term string, seg int, block_no int, n int, first_doc long, last_doc long, "
-    "max_tf int, min_dlq int, sum_tf long, docs_bin binary, tfs_bin binary, dlq_bin binary"
+    "max_tf int, min_dlq int, sum_tf long, docs_bin binary, tfs_bin binary, "
+    "dlq_bin binary, pos_bin binary"
 )
 
 
@@ -196,7 +197,10 @@ def pack_blocks(term: str, seg: int, docs: np.ndarray, tfs: np.ndarray, dlqs: np
     return rows
 
 
-def _pack_runs(term_arr, seg_arr, docs, tfs, dlqs, term_values=None) -> pd.DataFrame | None:
+def _pack_runs(
+    term_arr, seg_arr, docs, tfs, dlqs, term_values=None,
+    pos_flat=None, pos_offsets=None,
+) -> pd.DataFrame | None:
     """Vectorized block packing for a (term, seg, doc_id)-sorted slice that
     contains only COMPLETE runs. Block boundaries + per-block stats are
     computed with numpy reduceat over the whole slice; only the 3 bit-pack
@@ -229,6 +233,23 @@ def _pack_runs(term_arr, seg_arr, docs, tfs, dlqs, term_values=None) -> pd.DataF
     docs_bin = [K.for_pack(deltas_u[s:e]) for s, e in zip(bstarts, bends)]
     tfs_bin = [K.for_pack(tfs_u[s:e]) for s, e in zip(bstarts, bends)]
     dlq_bin = [dlq_u8[s:e].tobytes() for s, e in zip(bstarts, bends)]
+    if pos_flat is not None:
+        # positions: within-posting delta encode (reset at posting starts),
+        # one FOR-packed blob per block (the .pos stream analog,
+        # clt/codecs/lucene90/mod.rs:17 [stub])
+        pdeltas = np.empty(len(pos_flat), dtype=np.int64)
+        if len(pos_flat):
+            pdeltas[0] = pos_flat[0]
+            pdeltas[1:] = pos_flat[1:] - pos_flat[:-1]
+            starts_of_postings = pos_offsets[:-1]
+            pdeltas[starts_of_postings] = pos_flat[starts_of_postings]
+        pdeltas_u = pdeltas.astype(np.uint64)
+        pos_bin = [
+            K.for_pack(pdeltas_u[pos_offsets[s] : pos_offsets[e]])
+            for s, e in zip(bstarts, bends)
+        ]
+    else:
+        pos_bin = [b""] * len(bstarts)
     out_terms = term_arr[bstarts] if term_values is None else term_values[term_arr[bstarts]]
     return pd.DataFrame(
         {
@@ -244,6 +265,7 @@ def _pack_runs(term_arr, seg_arr, docs, tfs, dlqs, term_values=None) -> pd.DataF
             "docs_bin": docs_bin,
             "tfs_bin": tfs_bin,
             "dlq_bin": dlq_bin,
+            "pos_bin": pos_bin,
         }
     )
 
@@ -290,9 +312,13 @@ def _pack_partition(batches):
 
 
 
-def _count_batch(doc_ids: np.ndarray, parts: np.ndarray, content: pd.Series):
-    """Vectorized per-batch term counting: returns flat pair arrays
-    (doc_id, seg, dlq, term(object), tf) + per-doc (doc_id, part, dl, dlq)."""
+def _count_batch(
+    doc_ids: np.ndarray, parts: np.ndarray, content: pd.Series, positions: bool = False
+):
+    """Vectorized per-batch term counting → flat (doc, seg, dlq, code, tf)
+    pair arrays + batch vocab. With positions=True also returns the ragged
+    per-pair token-position stream (pos_flat sorted ascending within each
+    pair, counts == tf give the offsets)."""
     toks = tokenize_series(content)
     lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
     dl = lens
@@ -301,7 +327,7 @@ def _count_batch(doc_ids: np.ndarray, parts: np.ndarray, content: pd.Series):
     if total == 0:
         empty = np.zeros(0, dtype=np.int64)
         return (empty, empty.astype(np.int32), empty.astype(np.uint8),
-                empty, empty.astype(np.int32), np.zeros(0, dtype=object))
+                empty, empty.astype(np.int32), np.zeros(0, dtype=object), empty)
     all_tokens = np.empty(total, dtype=object)
     pos = 0
     for t in toks:
@@ -312,7 +338,15 @@ def _count_batch(doc_ids: np.ndarray, parts: np.ndarray, content: pd.Series):
     n_u = len(uniques)
     doc_idx_rep = np.repeat(np.arange(len(doc_ids), dtype=np.int64), lens)
     key = doc_idx_rep * n_u + codes
-    uk, counts = np.unique(key, return_counts=True)
+    if positions:
+        doc_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        pos_in_doc = np.arange(total, dtype=np.int64) - np.repeat(doc_starts, lens)
+        order = np.argsort(key, kind="stable")  # ascending positions per pair
+        uk, counts = np.unique(key[order], return_counts=True)
+        pos_flat = pos_in_doc[order]
+    else:
+        uk, counts = np.unique(key, return_counts=True)
+        pos_flat = np.zeros(0, dtype=np.int64)
     pair_doc_idx = uk // n_u
     pair_code = (uk % n_u).astype(np.int64)
     return (
@@ -322,10 +356,11 @@ def _count_batch(doc_ids: np.ndarray, parts: np.ndarray, content: pd.Series):
         pair_code,
         counts.astype(np.int32),
         np.asarray(uniques, dtype=object),
+        pos_flat,
     )
 
 
-def _dwpt_partition(batches):
+def _dwpt_partition(batches, positions: bool = False):
     """mapInPandas kernel — the DocumentsWriterPerThread analog
     (clt/index/mod.rs:33): this task holds complete segments (docs are
     hash-routed by part), accumulates per-doc term counts across Arrow
@@ -334,14 +369,17 @@ def _dwpt_partition(batches):
     downstream shuffle carries ~n_postings/128 rows. Memory is bounded by
     the segment size (num_partitions is the flush-by-RAM knob)."""
     acc = []
+    pos_acc = []
     vocab: dict = {}
     vocab_list: list = []
     for pdf in batches:
-        docs_b, segs_b, dlqs_b, codes_b, tfs_b, uniques_b = _count_batch(
+        docs_b, segs_b, dlqs_b, codes_b, tfs_b, uniques_b, pos_b = _count_batch(
             pdf["doc_id"].to_numpy(np.int64),
             pdf["part"].to_numpy(np.int64),
             pdf["content"],
+            positions,
         )
+        pos_acc.append(pos_b)
         # remap batch-local term codes into the task-level vocabulary
         remap = np.empty(len(uniques_b), dtype=np.int64)
         for j, term in enumerate(uniques_b):
@@ -366,8 +404,21 @@ def _dwpt_partition(batches):
     # by the global term-range shuffle, so code order inside a task is fine
     order = np.lexsort((docs, segs, codes))
     vocab_arr = np.asarray(vocab_list, dtype=object)
+    pos_flat = pos_offsets = None
+    if positions:
+        # ragged reorder of per-pair position slices, fully vectorized
+        raw = np.concatenate(pos_acc) if pos_acc else np.zeros(0, dtype=np.int64)
+        old_off = np.concatenate(([0], np.cumsum(tfs)))
+        lens_o = tfs[order]
+        new_off = np.concatenate(([0], np.cumsum(lens_o)))
+        gather = np.repeat(old_off[:-1][order] - new_off[:-1], lens_o) + np.arange(
+            int(lens_o.sum()), dtype=np.int64
+        )
+        pos_flat = raw[gather]
+        pos_offsets = new_off
     out = _pack_runs(
-        codes[order], segs[order], docs[order], tfs[order], dlqs[order], term_values=vocab_arr
+        codes[order], segs[order], docs[order], tfs[order], dlqs[order],
+        term_values=vocab_arr, pos_flat=pos_flat, pos_offsets=pos_offsets,
     )
     if out is not None and len(out):
         step = 65536
@@ -397,6 +448,7 @@ def build_index(
     resume: bool = True,
     shuffle_width: int | None = None,
     analyzer: str = "dwpt",
+    positions: bool = False,
 ) -> dict:
     """Build the full index under out_dir. Returns the committed manifest.
 
@@ -419,7 +471,9 @@ def build_index(
             with open(ck_path) as f:
                 group_stats.append(json.load(f))
             continue
-        group_stats.append(_build_group(docs, out_dir, g, num_groups, width, analyzer))
+        group_stats.append(
+            _build_group(docs, out_dir, g, num_groups, width, analyzer, positions)
+        )
         with open(ck_path + ".tmp", "w") as f:
             json.dump(group_stats[-1], f)
         os.replace(ck_path + ".tmp", ck_path)  # atomic per-group checkpoint
@@ -446,6 +500,7 @@ def build_index(
     sum_ttf = sum(gs["sum_ttf"] for gs in group_stats)
     manifest = {
         "format_version": 1,
+        "positions": bool(positions),
         "doc_count": doc_count,
         "sum_total_term_freq": sum_ttf,
         "num_partitions": num_partitions,
@@ -464,7 +519,7 @@ def build_index(
 
 def _build_group(
     docs_with_part: DataFrame, out_dir: str, g: int, num_groups: int, width: int,
-    analyzer: str = "dwpt",
+    analyzer: str = "dwpt", positions: bool = False,
 ) -> dict:
     """Build one checkpoint group: segments for parts ≡ g (mod num_groups).
     The part filter sits below the docID window (same partitionBy key), so
@@ -510,9 +565,13 @@ def _build_group(
         # and persisted — each cached partition holds complete segments, so
         # no second content shuffle is needed
         routed = d.select("doc_id", "part", "content")
+
+        def dwpt(batches, _p=positions):
+            return _dwpt_partition(batches, positions=_p)
+
         # persist before repartitionByRange: the range sampling pass would
         # otherwise re-run the whole DWPT kernel a second time
-        blocks = routed.mapInPandas(_dwpt_partition, schema=_BLOCK_SCHEMA).persist()
+        blocks = routed.mapInPandas(dwpt, schema=_BLOCK_SCHEMA).persist()
         (
             blocks.repartitionByRange(width, "term")
             .sortWithinPartitions("term", "seg", "block_no")

@@ -90,6 +90,8 @@ def merge_segments(
     width = width or spark.sparkContext.defaultParallelism
     m = read_manifest(index_dir)
     assert m is not None
+    if m.get("positions"):
+        raise NotImplementedError("merge of positional indexes is v2 (pos stream repack)")
     postings = spark.read.parquet(os.path.join(index_dir, "postings"))
     keyed = postings.withColumn("mseg", (F.col("seg") / fan_in).cast("int"))
     merged = (

@@ -58,6 +58,7 @@ class OracleIndex:
     doc_count: int
     sum_ttf: int
     meta: pd.DataFrame = field(repr=False, default=None)
+    contents: list = field(repr=False, default=None)  # aligned to doc_ids
 
     @property
     def avgdl(self) -> np.float32:
@@ -99,6 +100,7 @@ def build_oracle_index(df: pd.DataFrame, num_partitions: int) -> OracleIndex:
         doc_count=len(df),
         sum_ttf=int(dl.sum()),
         meta=df[["doc_id", "repo", "path", "commit", "lang"]],
+        contents=df["content"].tolist(),
     )
 
 
@@ -107,6 +109,10 @@ def build_oracle_index(df: pd.DataFrame, num_partitions: int) -> OracleIndex:
 
 def term_query(t: str) -> dict:
     return {"type": "term", "term": t}
+
+
+def phrase_query(terms) -> dict:
+    return {"type": "phrase", "terms": list(terms)}
 
 
 def bool_query(must=(), should=(), must_not=(), min_should_match=0) -> dict:
@@ -130,13 +136,101 @@ def query_terms(q: dict) -> tuple[list[str], list[str], list[str], int]:
 
 
 def oracle_search(
-    idx: OracleIndex, q: dict, k: int = 10, search_after: tuple | None = None
+    idx: OracleIndex,
+    q: dict,
+    k: int = 10,
+    search_after: tuple | None = None,
+    similarity: str = "bm25",
 ) -> list[tuple[int, float]]:
-    """Exact BM25 top-k per the pinned spec. Returns [(doc_id, score_f32)]."""
+    """Exact top-k per the pinned spec. Returns [(doc_id, score_f32)].
+    Handles the full v1 query surface: term/bool plus match_all, boost,
+    const_score, prefix/range/wildcard/regexp/in_set (constant-score
+    rewrite), fuzzy (scoring rewrite), dismax — mirrored in the engine."""
+    from lucene_rust_spark.functions.similarities import get_similarity
+    from lucene_rust_spark.search.rewrite import (
+        CONSTANT_SCORE_TYPES,
+        match_terms,
+    )
+
+    sim = get_similarity(similarity, idx.doc_count, idx.sum_ttf)
+    qt = q.get("type")
+    if qt == "boost":
+        b = np.float32(q["boost"])
+        inner = oracle_search(idx, q["query"], k, search_after, similarity)
+        return [(d, float(np.float32(np.float32(s) * b))) for d, s in inner]
+    if qt == "match_all":
+        c = np.float32(q.get("boost", 1.0))
+        dids = idx.doc_ids
+        scores = np.full(len(dids), c, dtype=np.float32)
+        return _rank(dids, scores, k, search_after)
+    if qt == "const_score":
+        c = np.float32(q.get("score", 1.0))
+        inner = oracle_search(idx, q["query"], idx.doc_count, None, similarity)
+        dids = np.array([d for d, _ in inner], dtype=np.int64)
+        return _rank(dids, np.full(len(dids), c, dtype=np.float32), k, search_after)
+    if qt in CONSTANT_SCORE_TYPES:
+        terms = match_terms(q, sorted(idx.postings))
+        c = np.float32(q.get("boost", 1.0))
+        mask = np.zeros(idx.doc_count, dtype=bool)
+        for t in terms:
+            mask[idx.postings[t][0]] = True
+        dids = idx.doc_ids[np.flatnonzero(mask)]
+        return _rank(dids, np.full(len(dids), c, dtype=np.float32), k, search_after)
+    if qt == "fuzzy":
+        terms = match_terms(q, sorted(idx.postings))
+        if not terms:
+            return []
+        q = bool_query(should=terms)
+    if qt == "phrase":
+        terms = list(q["terms"])
+        uniq = sorted(set(terms))
+        if any(t not in idx.postings for t in uniq):
+            return []
+        cand = idx.postings[uniq[0]][0]
+        for t in uniq[1:]:
+            cand = np.intersect1d(cand, idx.postings[t][0])
+        idf_q = np.float32(0.0)
+        for t in uniq:  # ascending-term order (pinned)
+            idf_q = np.float32(idf_q + sim.idf(len(idx.postings[t][0])))
+        hit_i, freqs = [], []
+        for i in cand:
+            toks = tokenize(idx.contents[int(i)])
+            m = len(terms)
+            freq = sum(
+                1 for j in range(len(toks) - m + 1) if toks[j : j + m] == terms
+            )
+            if freq:
+                hit_i.append(int(i))
+                freqs.append(freq)
+        if not hit_i:
+            return []
+        hi = np.array(hit_i, dtype=np.int64)
+        scores = sim.score(
+            np.array(freqs, dtype=np.int64), idx.dlq[hi],
+            np.full(len(hi), idf_q, dtype=np.float32),
+        )
+        return _rank(idx.doc_ids[hi], scores, k, search_after)
+    if qt == "dismax":
+        terms = sorted({c["term"] for c in q["queries"]})
+        tie = float(q.get("tie", 0.0))
+        per_doc: dict[int, list] = {}
+        for t in terms:  # ascending-term order (pinned)
+            if t not in idx.postings:
+                continue
+            ix, tf = idx.postings[t]
+            sc = sim.score(tf, idx.dlq[ix], np.full(len(ix), sim.idf(len(ix)), dtype=np.float32))
+            for i, v in zip(ix, sc):
+                per_doc.setdefault(int(i), []).append(np.float32(v))
+        items = [
+            (int(idx.doc_ids[i]), float(K.dismax_combine(scs, tie)))
+            for i, scs in per_doc.items()
+        ]
+        dids = np.array([d for d, _ in items], dtype=np.int64)
+        scores = np.array([s for _, s in items], dtype=np.float32)
+        return _rank(dids, scores, k, search_after)
+
     must, should, must_not, msm = query_terms(q)
-    cache = idx.norm_cache()
     n = idx.doc_count
-    # scoring terms, ascending order = the pinned combination order
     scoring = sorted(set(must) | set(should))
     score_acc = np.zeros(n, dtype=np.float32)
     match_must = np.zeros(n, dtype=np.int32)
@@ -146,8 +240,8 @@ def oracle_search(
         if t not in idx.postings:
             continue
         ix, tf = idx.postings[t]
-        idf = idx.idf(t)
-        s = K.bm25_score(tf, idx.dlq[ix], np.full(len(ix), idf, dtype=np.float32), cache)
+        idf = sim.idf(len(ix))
+        s = sim.score(tf, idx.dlq[ix], np.full(len(ix), idf, dtype=np.float32))
         score_acc[ix] = (score_acc[ix] + s).astype(np.float32)
         touched[ix] = True
         if t in must:
@@ -163,8 +257,10 @@ def oracle_search(
         if t in idx.postings:
             ok[idx.postings[t][0]] = False
     cand = np.flatnonzero(ok)
-    scores = score_acc[cand]
-    dids = idx.doc_ids[cand]
+    return _rank(idx.doc_ids[cand], score_acc[cand], k, search_after)
+
+
+def _rank(dids: np.ndarray, scores: np.ndarray, k: int, search_after) -> list:
     if search_after is not None:
         s_a, d_a = np.float32(search_after[0]), int(search_after[1])
         keep = (scores < s_a) | ((scores == s_a) & (dids > d_a))

@@ -29,8 +29,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from lucene_rust_spark.functions import kernels as K
+from lucene_rust_spark.functions.similarities import BM25, get_similarity
 from lucene_rust_spark.index.manifest import read_manifest
 from lucene_rust_spark.oracle.bm25 import query_terms
+from lucene_rust_spark.search.rewrite import (
+    CONSTANT_SCORE_TYPES,
+    MULTI_TERM_TYPES,
+    match_terms,
+)
 
 MAX_CLAUSE_COUNT = 1024  # clt/search/index_searcher.rs:1
 
@@ -50,7 +56,13 @@ def _f32_ordered_sum(parts: pd.Series) -> pd.Series:
 
 
 class IndexSearcher:
-    def __init__(self, spark: SparkSession, index_dir: str, cache: bool = False):
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        cache: bool = False,
+        similarity: str = "bm25",
+    ):
         self.spark = spark
         self.index_dir = index_dir
         self.manifest = read_manifest(index_dir)
@@ -58,21 +70,45 @@ class IndexSearcher:
             raise FileNotFoundError(f"no manifest in {index_dir}")
         postings_dir = self.manifest.get("postings_dir", "postings")
         self.postings = spark.read.parquet(os.path.join(index_dir, postings_dir))
-        self.terms = spark.read.parquet(os.path.join(index_dir, "terms"))
+        terms_dir = self.manifest.get("terms_dir", "terms")
+        self.terms = spark.read.parquet(os.path.join(index_dir, terms_dir))
         self.docmap = spark.read.parquet(os.path.join(index_dir, "docmap"))
+        self._term_dict = None
         if cache:
             self.postings = self.postings.persist()
+            # terms dict fits the driver comfortably below ~2M entries:
+            # preloading makes TermStates gather + MultiTermQuery expansion
+            # collect-free (1 Spark job per query instead of 2-3). At larger
+            # dictionaries the DataFrame path below is used instead.
+            n_terms = self.terms.count()
+            if n_terms <= 2_000_000:
+                pdf = self.terms.select("term", "doc_freq", "total_term_freq").toPandas()
+                self._term_dict = {
+                    t: (int(d), int(f))
+                    for t, d, f in zip(pdf["term"], pdf["doc_freq"], pdf["total_term_freq"])
+                }
         self.doc_count = int(self.manifest["doc_count"])
         self.sum_ttf = int(self.manifest["sum_total_term_freq"])
         # pinned: avgdl from exact integer stats (FIXTURES.md §3)
         self.avgdl = np.float32(np.float64(self.sum_ttf) / np.float64(self.doc_count))
-        self.norm_cache = K.bm25_norm_cache(self.avgdl)
+        self.sim = get_similarity(similarity, self.doc_count, self.sum_ttf)
+        self.norm_cache = getattr(self.sim, "cache", K.bm25_norm_cache(self.avgdl))
 
     # -- stats gather (TermStates collection, clt/index/mod.rs:173) ----------
 
     def term_stats(self, terms: list[str]) -> dict[str, dict]:
         if not terms:
             return {}
+        if self._term_dict is not None:
+            return {
+                t: {
+                    "doc_freq": self._term_dict[t][0],
+                    "total_term_freq": self._term_dict[t][1],
+                    "idf": float(self.sim.idf(self._term_dict[t][0])),
+                }
+                for t in terms
+                if t in self._term_dict
+            }
         rows = (
             self.terms.filter(F.col("term").isin(list(terms)))
             .select("term", "doc_freq", "total_term_freq")
@@ -83,7 +119,7 @@ class IndexSearcher:
             out[r["term"]] = {
                 "doc_freq": int(r["doc_freq"]),
                 "total_term_freq": int(r["total_term_freq"]),
-                "idf": float(K.bm25_idf(int(r["doc_freq"]), self.doc_count)),
+                "idf": float(self.sim.idf(int(r["doc_freq"]))),
             }
         return out
 
@@ -94,7 +130,7 @@ class IndexSearcher:
         Term filter is pushed to the parquet scan (term-sorted files → row-group
         pruning plays the terms-dict seek role)."""
         idf_map = {t: np.float32(stats[t]["idf"]) for t in terms if t in stats}
-        cache = self.norm_cache
+        sim = self.sim
         if blocks is None:
             blocks = self.postings.filter(F.col("term").isin(list(terms)))
         blocks = blocks.select("term", "n", "first_doc", "docs_bin", "tfs_bin", "dlq_bin")
@@ -119,7 +155,7 @@ class IndexSearcher:
                 tfs = np.concatenate(tf_parts)
                 dlqs = np.concatenate(dlq_parts)
                 idfs = np.concatenate(idf_parts)
-                scores = K.bm25_score(tfs, dlqs, idfs, cache)
+                scores = sim.score(tfs, dlqs, idfs)
                 yield pd.DataFrame(
                     {
                         "doc_id": docs,
@@ -130,6 +166,102 @@ class IndexSearcher:
                 )
 
         return blocks.mapInPandas(decode, schema="doc_id long, term string, score float, tf int")
+
+    def _positions(self, terms: list[str]) -> DataFrame:
+        """(term, doc_id, pos, dlq) — one row per token occurrence of the
+        given terms. Decodes the .pos-stream analog (pos_bin) written by
+        build_index(positions=True)."""
+        if not self.manifest.get("positions"):
+            raise ValueError("index was built without positions (build_index(positions=True))")
+        blocks = self.postings.filter(F.col("term").isin(list(terms))).select(
+            "term", "n", "first_doc", "docs_bin", "tfs_bin", "dlq_bin", "pos_bin"
+        )
+
+        def decode(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                terms_o, docs_o, pos_o, dlq_o = [], [], [], []
+                for term, n, first_doc, db, tb, qb, pb in zip(
+                    pdf["term"], pdf["n"], pdf["first_doc"], pdf["docs_bin"],
+                    pdf["tfs_bin"], pdf["dlq_bin"], pdf["pos_bin"],
+                ):
+                    n = int(n)
+                    docs = np.int64(first_doc) + np.cumsum(K.for_unpack(bytes(db), n)).astype(np.int64)
+                    tfs = K.for_unpack(bytes(tb), n).astype(np.int64)
+                    dlqs = np.frombuffer(bytes(qb), dtype=np.uint8)
+                    total = int(tfs.sum())
+                    pdeltas = K.for_unpack(bytes(pb), total).astype(np.int64)
+                    # segmented cumsum: pos[o+j] = cs[o+j] - cs[o-1] where o
+                    # is the posting start (its delta is the absolute first
+                    # position). cs is nondecreasing (deltas >= 0), so
+                    # maximum.accumulate propagates each posting's base.
+                    offs = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+                    cs = np.cumsum(pdeltas)
+                    base = np.zeros(total, dtype=np.int64)
+                    base[offs[1:]] = cs[offs[1:] - 1]
+                    np.maximum.accumulate(base, out=base)
+                    pos = cs - base
+                    terms_o.append(np.repeat(term, total))
+                    docs_o.append(np.repeat(docs, tfs))
+                    dlq_o.append(np.repeat(dlqs, tfs))
+                    pos_o.append(pos)
+                if not terms_o:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "term": np.concatenate(terms_o),
+                        "doc_id": np.concatenate(docs_o),
+                        "pos": np.concatenate(pos_o),
+                        "dlq": np.concatenate(dlq_o).astype(np.int32),
+                    }
+                )
+
+        return blocks.mapInPandas(decode, schema="term string, doc_id long, pos long, dlq int")
+
+    def _phrase_df(self, query: dict, k: int, search_after) -> DataFrame:
+        """PhraseQuery (clt/search/mod.rs:101 [stub]; Lucene semantics):
+        exact adjacency via position-chain joins (the leapfrog position
+        intersect expressed as equi-joins); tf = phrase_freq; idf = float32
+        sum of per-term idfs in ascending-term order."""
+        terms = list(query["terms"])
+        uniq = sorted(set(terms))
+        stats = self.term_stats(uniq)
+        if any(t not in stats for t in uniq):
+            return self._empty_result()
+        pos = self._positions(uniq).persist()
+        try:
+            chain = pos.filter(F.col("term") == terms[0]).select(
+                "doc_id", F.col("pos").alias("p0"), "dlq"
+            )
+            for i, t in enumerate(terms[1:], start=1):
+                nxt = pos.filter(F.col("term") == t).select(
+                    "doc_id", (F.col("pos") - i).alias("p0")
+                )
+                chain = chain.join(nxt, ["doc_id", "p0"], "left_semi")
+            freq = chain.groupBy("doc_id").agg(
+                F.count("*").alias("freq"), F.max("dlq").alias("dlq")
+            )
+            idf_q = np.float32(0.0)
+            for t in uniq:
+                idf_q = np.float32(idf_q + np.float32(stats[t]["idf"]))
+            sim = self.sim
+
+            def score_kernel(batches):
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    sc = sim.score(
+                        pdf["freq"].to_numpy(np.int64),
+                        pdf["dlq"].to_numpy(np.int64),
+                        np.full(len(pdf), idf_q, dtype=np.float32),
+                    )
+                    yield pd.DataFrame({"doc_id": pdf["doc_id"], "score": sc})
+
+            hits = freq.mapInPandas(score_kernel, schema="doc_id long, score float")
+            return self._finish(hits, k, search_after)
+        finally:
+            pos.unpersist()
 
     def _matching_docs(self, terms: list[str]) -> DataFrame:
         """doc_ids containing any of the terms (no scoring) — for MUST_NOT."""
@@ -149,6 +281,45 @@ class IndexSearcher:
 
         return blocks.mapInPandas(decode, schema="doc_id long").distinct()
 
+    # -- rewrite (MultiTermQuery expansion, clt/search/mod.rs:94) -------------
+
+    def expand_query_terms(self, q: dict) -> list[str]:
+        """Collect candidate terms from the terms dict (filter pushed to the
+        term-sorted parquet scan where expressible) and expand driver-side.
+        TODO(scale): FST/automaton intersection instead of a driver collect
+        for very large dictionaries."""
+        t = q["type"]
+        if self._term_dict is not None:
+            return match_terms(q, sorted(self._term_dict))
+        td = self.terms
+        if t == "prefix":
+            cand = td.filter(F.col("term").startswith(q["prefix"]))
+        elif t == "range":
+            cond = F.lit(True)
+            if q.get("lo") is not None:
+                cond = cond & (F.col("term") >= q["lo"])
+            if q.get("hi") is not None:
+                cond = cond & (F.col("term") < q["hi"])
+            cand = td.filter(cond)
+        elif t == "fuzzy":
+            k = int(q.get("max_edits", 2))
+            n = len(q["term"])
+            cand = td.filter(
+                (F.length("term") >= n - k) & (F.length("term") <= n + k)
+            )
+        elif t == "in_set":
+            cand = td.filter(F.col("term").isin(list(q["terms"])))
+        else:  # wildcard / regexp: cheap prefix prefilter when available
+            pat = q["pattern"]
+            lit_prefix = ""
+            for ch in pat:
+                if ch in "*?[](){}|.\\+^$":
+                    break
+                lit_prefix += ch
+            cand = td.filter(F.col("term").startswith(lit_prefix)) if lit_prefix else td
+        names = [r["term"] for r in cand.select("term").collect()]
+        return match_terms(q, sorted(names))
+
     # -- search ---------------------------------------------------------------
 
     def search_df(
@@ -160,6 +331,47 @@ class IndexSearcher:
     ) -> DataFrame:
         """Top-k as a DataFrame (doc_id long, score float), ordered by
         (score desc, doc_id asc)."""
+        qt = query.get("type")
+        if qt == "match_all":
+            # MatchAllDocsQuery (clt/search/mod.rs:80)
+            boost = float(np.float32(query.get("boost", 1.0)))
+            hits = self.docmap.select(
+                "doc_id", F.lit(boost).cast("float").alias("score")
+            )
+            return self._finish(hits, k, search_after)
+        if qt == "boost":
+            # BoostQuery (clt/search/mod.rs:14): multiply scores, float32
+            b = F.lit(float(query["boost"])).cast("float")
+            inner = self.search_df(query["query"], k, search_after, prune)
+            return inner.select("doc_id", (F.col("score") * b).cast("float").alias("score"))
+        if qt == "const_score":
+            # ConstantScoreQuery (clt/search/mod.rs:24-26)
+            c = float(np.float32(query.get("score", 1.0)))
+            inner = self.search_df(query["query"], self.doc_count or 1)
+            hits = inner.select("doc_id", F.lit(c).cast("float").alias("score"))
+            return self._finish(hits, k, search_after)
+        if qt in CONSTANT_SCORE_TYPES:
+            terms = self.expand_query_terms(query)
+            if not terms:
+                return self._empty_result()
+            boost = float(np.float32(query.get("boost", 1.0)))
+            hits = self._matching_docs(terms).select(
+                "doc_id", F.lit(boost).cast("float").alias("score")
+            )
+            return self._finish(hits, k, search_after)
+        if qt == "fuzzy":
+            # scoring-boolean rewrite over expanded terms
+            terms = self.expand_query_terms(query)
+            if not terms:
+                return self._empty_result()
+            from lucene_rust_spark.oracle.bm25 import bool_query
+
+            query = bool_query(should=terms)
+        if qt == "dismax":
+            return self._dismax_df(query, k, search_after)
+        if qt == "phrase":
+            return self._phrase_df(query, k, search_after)
+
         must, should, must_not, msm = query_terms(query)
         n_clauses = len(must) + len(should) + len(must_not)
         if n_clauses > MAX_CLAUSE_COUNT:
@@ -175,6 +387,7 @@ class IndexSearcher:
 
         if (
             prune
+            and isinstance(self.sim, BM25)
             and not must_not
             and msm == 0
             and not must_set
@@ -234,6 +447,39 @@ class IndexSearcher:
     def fetch(self, hits_df: DataFrame) -> DataFrame:
         """Join top-k back to the doc map — the stored-fields fetch."""
         return hits_df.join(self.docmap, "doc_id", "inner")
+
+    def _finish(self, hits: DataFrame, k: int, search_after: tuple | None) -> DataFrame:
+        if search_after is not None:
+            s_a, d_a = float(np.float32(search_after[0])), int(search_after[1])
+            hits = hits.filter(
+                (F.col("score") < F.lit(s_a))
+                | ((F.col("score") == F.lit(s_a)) & (F.col("doc_id") > F.lit(d_a)))
+            )
+        return hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def _dismax_df(self, query: dict, k: int, search_after) -> DataFrame:
+        """DisjunctionMaxQuery (clt/search/mod.rs:32-33): max over per-term
+        scores + tie * sum(others), float32, pinned order (kernels.dismax)."""
+        terms = sorted({c["term"] for c in query["queries"]})
+        tie = float(query.get("tie", 0.0))
+        stats = self.term_stats(terms)
+        terms = [t for t in terms if t in stats]
+        if not terms:
+            return self._empty_result()
+        scored = self._scored_postings(terms, stats)
+
+        @F.pandas_udf(T.FloatType())
+        def _dismax_sum(parts: pd.Series) -> pd.Series:
+            return parts.map(
+                lambda lst: float(K.dismax_combine([p["score"] for p in lst], tie))
+            )
+
+        hits = (
+            scored.groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list(F.struct("term", "score"))).alias("parts"))
+            .select("doc_id", _dismax_sum(F.col("parts")).alias("score"))
+        )
+        return self._finish(hits, k, search_after)
 
     def _empty_result(self) -> DataFrame:
         return self.spark.createDataFrame([], "doc_id long, score float")

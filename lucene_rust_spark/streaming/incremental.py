@@ -1,0 +1,114 @@
+"""Incremental index append — the NRT reader / reopen analog
+(clt/search/mod.rs:27 controlled_real_time_reopen_thread, :132
+searcher_manager [stub]; the reference is batch-only, SURVEY.md §2.8).
+
+Each appended batch becomes a new family of segments in a disjoint part-id
+range (epoch namespacing keeps docIDs unique without coordination), written
+exactly like a build group and committed with a new manifest generation.
+Structured Streaming drives this through foreachBatch for exactly-once
+appends (the checkpoint location is the WAL; the manifest commit is
+idempotent per epoch — an epoch replay overwrites its own group dir)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lucene_rust_spark.index.build import PARTITION_SHIFT, _build_group, with_partition
+from lucene_rust_spark.index.manifest import commit_manifest, read_manifest
+
+# part ids must fit in 23 bits (doc_id = part << 40 in a signed 64-bit):
+# 4096 parts per epoch namespace, up to 2047 epochs
+EPOCH_PART_STRIDE = 4096
+MAX_PART = (1 << 23) - 1
+
+
+def append_batch(
+    spark: SparkSession,
+    source: DataFrame,
+    index_dir: str,
+    epoch: int,
+    num_partitions: int = 8,
+) -> dict:
+    """Append one batch as new segments (part ids offset by epoch stride).
+    Idempotent per (index_dir, epoch): replays overwrite the same group."""
+    m = read_manifest(index_dir)
+    if m is None:
+        raise FileNotFoundError(f"append requires an existing index at {index_dir}")
+    if m.get("postings_dir", "postings") != "postings":
+        raise NotImplementedError("append after merge compaction is v2 (group dirs diverge)")
+    if num_partitions > EPOCH_PART_STRIDE:
+        raise ValueError(f"num_partitions > {EPOCH_PART_STRIDE}")
+    offset = (epoch + 1) * EPOCH_PART_STRIDE
+    if offset + num_partitions > MAX_PART:
+        raise ValueError(f"epoch {epoch} exceeds the part-id namespace")
+    docs = with_partition(source, num_partitions).withColumn(
+        "part", (F.col("part") + F.lit(offset)).cast("int")
+    )
+    width = spark.sparkContext.defaultParallelism
+    g = 1_000_000 + epoch  # group namespace for streaming appends
+    gs = _build_group(docs, index_dir, g, 1, width)
+
+    # drop a possibly-stale record of this epoch (idempotent replay)
+    segments = [s for s in m["segments"] if s.get("group") != g] + gs["segments"]
+    manifest = dict(m)
+    manifest.update(
+        {
+            "doc_count": sum(s["max_doc"] for s in segments),
+            "sum_total_term_freq": sum(s["sum_ttf"] for s in segments),
+            "segments": sorted(segments, key=lambda s: s["seg"]),
+            "generation": m["generation"] + 1,
+            "appended_epochs": sorted(set(m.get("appended_epochs", [])) | {epoch}),
+        }
+    )
+    xor = 0
+    for s in segments:
+        xor ^= int(s["content_sha256_xor"], 16)
+    manifest["content_sha256_xor"] = format(xor & 0xFFFFFFFFFFFFFFFF, "016x")
+
+    # refresh the global terms dict (df/ttf changed); write to a new
+    # generation dir so readers of the old one are unaffected
+    terms_dir = f"terms_g{manifest['generation']}"
+    postings = spark.read.parquet(
+        os.path.join(index_dir, m.get("postings_dir", "postings"))
+    )
+    (
+        postings.groupBy("term")
+        .agg(
+            F.sum("n").cast("long").alias("doc_freq"),
+            F.sum("sum_tf").cast("long").alias("total_term_freq"),
+            F.count("*").cast("long").alias("n_blocks"),
+        )
+        .repartitionByRange(max(1, width // 8), "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_dir, terms_dir))
+    )
+    manifest["terms_dir"] = terms_dir
+    commit_manifest(index_dir, manifest)
+    return manifest
+
+
+def stream_append(
+    spark: SparkSession,
+    stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    num_partitions: int = 8,
+):
+    """Structured Streaming sink: every micro-batch is appended as new
+    segments. Returns the StreamingQuery (caller drives/stops it)."""
+
+    def sink(batch_df: DataFrame, epoch: int) -> None:
+        if batch_df.rdd.isEmpty():
+            return
+        append_batch(spark, batch_df, index_dir, int(epoch), num_partitions)
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,85 @@
+"""Engine vs oracle for the extended query surface (SURVEY.md §2.5-2.6):
+multi-term expansion queries, boost/const-score wrappers, match-all,
+dismax, and alternative similarities."""
+
+import pytest
+
+from lucene_rust_spark.oracle.bm25 import bool_query, oracle_search, term_query
+
+CASES = [
+    {"type": "prefix", "prefix": "get"},
+    {"type": "prefix", "prefix": "zzznope"},
+    {"type": "range", "lo": "m", "hi": "mz"},
+    {"type": "range", "lo": "batch", "hi": "bb"},
+    {"type": "wildcard", "pattern": "val*"},
+    {"type": "wildcard", "pattern": "?alue"},
+    {"type": "regexp", "pattern": "va[ln].*"},
+    {"type": "fuzzy", "term": "vlaue", "max_edits": 2},
+    {"type": "fuzzy", "term": "token", "max_edits": 1},
+    {"type": "in_set", "terms": ["value", "token", "zzznope"]},
+    {"type": "match_all"},
+    {"type": "boost", "boost": 2.5, "query": term_query("token")},
+    {"type": "boost", "boost": 0.5, "query": bool_query(should=["token", "value"])},
+    {"type": "const_score", "score": 3.0, "query": term_query("token")},
+    {
+        "type": "dismax",
+        "tie": 0.3,
+        "queries": [term_query("token"), term_query("value"), term_query("index")],
+    },
+    {"type": "dismax", "tie": 0.0, "queries": [term_query("token"), term_query("merge_mut")]},
+]
+
+
+@pytest.mark.parametrize(
+    "q", CASES, ids=lambda q: q["type"] + ":" + str(list(q.values())[1:2])[:20]
+)
+def test_query_type_rank_identity(searcher, oracle_idx, q):
+    assert searcher.search(q, 10) == oracle_search(oracle_idx, q, 10)
+
+
+@pytest.mark.parametrize("sim", ["classic", "boolean"])
+def test_alt_similarities(spark, t1_index, oracle_idx, sim):
+    from lucene_rust_spark.search.searcher import IndexSearcher
+
+    out, _ = t1_index
+    s = IndexSearcher(spark, out, similarity=sim)
+    for q in [term_query("token"), bool_query(should=["token", "value", "index"]),
+              bool_query(must=["token", "index"])]:
+        assert s.search(q, 10) == oracle_search(oracle_idx, q, 10, similarity=sim)
+
+
+def test_expansion_cap(searcher):
+    from lucene_rust_spark.search.rewrite import MAX_EXPANSIONS
+
+    with pytest.raises(ValueError):
+        searcher.search({"type": "range", "lo": None, "hi": None}, 5)  # all terms
+
+
+def test_phrase_query(spark, tmp_path_factory):
+    """Positional index + PhraseQuery, engine vs oracle (built fresh with
+    positions=True)."""
+    from lucene_rust_spark.corpus import gen_corpus_pandas, gen_corpus_spark
+    from lucene_rust_spark.index.build import build_index
+    from lucene_rust_spark.oracle.bm25 import build_oracle_index, oracle_search, phrase_query
+    from lucene_rust_spark.search.searcher import IndexSearcher
+
+    out = str(tmp_path_factory.mktemp("pos") / "idx")
+    build_index(spark, gen_corpus_spark(spark, 500, 4), out, num_partitions=4, positions=True)
+    oidx = build_oracle_index(gen_corpus_pandas(500), 4)
+    s = IndexSearcher(spark, out, cache=True)
+
+    # pick a bigram that actually occurs: take one from doc 0's tokens
+    from lucene_rust_spark.functions.analysis import tokenize
+
+    toks = tokenize(oidx.contents[0])
+    bigram = [toks[10], toks[11]]
+    trigram = [toks[20], toks[21], toks[22]]
+    for terms in [bigram, trigram, ["zzz_never", "appears"]]:
+        q = phrase_query(terms)
+        assert s.search(q, 10) == oracle_search(oidx, q, 10), terms
+    # phrase hits must be a subset of the AND hits
+    from lucene_rust_spark.oracle.bm25 import bool_query
+
+    n_phrase = len(oracle_search(oidx, phrase_query(bigram), 1000))
+    n_and = len(oracle_search(oidx, bool_query(must=bigram), 1000))
+    assert 1 <= n_phrase <= n_and
