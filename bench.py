@@ -45,7 +45,7 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_of(sf_dir)
     n_rows = max(2000, int(CORPUS_ROWS_PER_SF * sf))
-    num_partitions = 256  # fine segments smooth reducer skew
+    num_partitions = 2048  # many small segments smooth reducer skew (waves balance)
 
     from lucene_rust_spark.corpus import gen_corpus_pandas, gen_corpus_spark
     from lucene_rust_spark.index.build import build_index

@@ -462,21 +462,13 @@ def build_index(
     # from num_partitions (the logical segment count) so CPU-bound kernel
     # stages always use every core regardless of AQE coalescing
     width = shuffle_width or spark.sparkContext.defaultParallelism
-    os.makedirs(os.path.join(out_dir, "checkpoints"), exist_ok=True)
-    docs = with_partition(source, num_partitions)
     group_stats = []
     for g in range(num_groups):
-        ck_path = os.path.join(out_dir, "checkpoints", f"group_{g}.json")
-        if resume and os.path.exists(ck_path):
-            with open(ck_path) as f:
-                group_stats.append(json.load(f))
-            continue
-        group_stats.append(
-            _build_group(docs, out_dir, g, num_groups, width, analyzer, positions)
+        gs = build_group_job(
+            spark, source, out_dir, g, num_groups, num_partitions,
+            width=width, analyzer=analyzer, positions=positions, resume=resume,
         )
-        with open(ck_path + ".tmp", "w") as f:
-            json.dump(group_stats[-1], f)
-        os.replace(ck_path + ".tmp", ck_path)  # atomic per-group checkpoint
+        group_stats.append(gs)
 
     # global term dictionary (the OrdinalMap/global-terms analog,
     # clt/index/ordinal_map.rs) — tiny relative to corpus, one extra agg
@@ -515,6 +507,36 @@ def build_index(
     }
     commit_manifest(out_dir, manifest)
     return manifest
+
+
+def build_group_job(
+    spark: SparkSession,
+    source: DataFrame,
+    out_dir: str,
+    g: int,
+    num_groups: int,
+    num_partitions: int,
+    width: int | None = None,
+    analyzer: str = "dwpt",
+    positions: bool = False,
+    resume: bool = True,
+) -> dict:
+    """Build exactly one checkpoint group and write its checkpoint — the
+    unit of distributed work: independent group-builder processes (or a
+    resumed driver) each run one of these; build_index(resume=True)
+    afterwards finalizes terms + manifest from the checkpoints."""
+    width = width or spark.sparkContext.defaultParallelism
+    os.makedirs(os.path.join(out_dir, "checkpoints"), exist_ok=True)
+    ck_path = os.path.join(out_dir, "checkpoints", f"group_{g}.json")
+    if resume and os.path.exists(ck_path):
+        with open(ck_path) as f:
+            return json.load(f)
+    docs = with_partition(source, num_partitions)
+    gs = _build_group(docs, out_dir, g, num_groups, width, analyzer, positions)
+    with open(ck_path + ".tmp", "w") as f:
+        json.dump(gs, f)
+    os.replace(ck_path + ".tmp", ck_path)  # atomic per-group checkpoint
+    return gs
 
 
 def _build_group(
@@ -601,7 +623,6 @@ def _build_group(
     t = _dbg("seg_stats", t)
     norms.unpersist()
     docmap.unpersist()
-    d.unpersist()
     segments = [
         {
             "seg": int(r["part"]),

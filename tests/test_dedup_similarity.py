@@ -1,0 +1,95 @@
+"""Dedup operators (exact / MinHash-LSH / SimHash / embedding) and
+similarity search (brute-force, LSH-ANN, IVF) on the driver test tables."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(F.col("doc_id").alias("id"), "text")
+        .persist()
+    )
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select(F.col("vec_id").alias("id"), "embedding")
+        .persist()
+    )
+
+
+def test_minhash_lsh_finds_near_dupes(spark, docs):
+    """LSH candidates verified at J>=0.5 must cover the exact-Jaccard pairs
+    found by the gate query (25 pairs at sf0.01) reasonably well, with no
+    false positives after verification."""
+    from lucene_rust_spark.operators.dedup import minhash_lsh_pairs
+
+    verified = minhash_lsh_pairs(docs, num_hashes=16, bands=8, verify_jaccard=0.5).toPandas()
+    assert (verified["j"] >= 0.5).all()
+    # exact ground truth via the gate SQL (DuckDB-equivalent spark plan)
+    from lucene_rust_spark.gate import dedup_ngram_jaccard
+
+    truth = dedup_ngram_jaccard(spark, SF).toPandas()
+    truth_pairs = set(zip(truth["a"], truth["b"]))
+    got_pairs = set(zip(verified["a"], verified["b"]))
+    assert got_pairs <= truth_pairs or len(got_pairs - truth_pairs) == 0
+    recall = len(got_pairs & truth_pairs) / max(len(truth_pairs), 1)
+    assert recall >= 0.8, (recall, len(truth_pairs), len(got_pairs))
+
+
+def test_simhash_near_dupes(spark, docs):
+    from lucene_rust_spark.operators.dedup import simhash, simhash_pairs
+
+    sigs = simhash(docs).toPandas()
+    assert len(sigs) == docs.count()
+    pairs = simhash_pairs(docs, max_hamming=3, bands=4).toPandas()
+    # near-dup docs (by Jaccard truth) should appear among low-hamming pairs
+    from lucene_rust_spark.gate import dedup_ngram_jaccard
+
+    truth = dedup_ngram_jaccard(spark, SF).toPandas()
+    strong = truth[truth["j"] >= 0.9]
+    got = set(zip(pairs["a"], pairs["b"]))
+    hits = sum((a, b) in got for a, b in zip(strong["a"], strong["b"]))
+    assert hits >= 0.7 * len(strong), (hits, len(strong))
+
+
+def test_exact_dupes_matches_gate(spark, docs):
+    from lucene_rust_spark.gate import dedup_exact
+    from lucene_rust_spark.operators.dedup import exact_dupes
+
+    a = exact_dupes(docs).count()
+    b = dedup_exact(spark, SF).count()
+    assert a == b
+
+
+def test_embedding_near_dupes_symmetric(emb):
+    from lucene_rust_spark.operators.dedup import embedding_near_dupes
+
+    pairs = embedding_near_dupes(emb.limit(100), tau=0.8).toPandas()
+    assert (pairs["a"] < pairs["b"]).all()
+    assert ((pairs["cos"] >= 0.8) & (pairs["cos"] <= 1.0 + 1e-9)).all()
+
+
+def test_ann_vs_bruteforce(emb):
+    """LSH and IVF top-k must strongly overlap the exact top-k."""
+    from lucene_rust_spark.operators.similarity import ann_lsh_topk, cosine_topk, ivf_topk
+
+    qvec = np.array(emb.filter(F.col("id") == 0).first()["embedding"], dtype=np.float64)
+    pool = emb.filter(F.col("id") != 0).persist()
+    exact = [r["id"] for r in cosine_topk(pool, qvec, 10).collect()]
+    lsh = [r["id"] for r in ann_lsh_topk(pool, qvec, 10, n_planes=10).collect()]
+    ivf = [r["id"] for r in ivf_topk(pool, qvec, 10, n_cells=8, nprobe=3).collect()]
+    assert len(set(exact) & set(lsh)) >= 6, (exact, lsh)
+    assert len(set(exact) & set(ivf)) >= 6, (exact, ivf)
+    # exact path is deterministic and ordered
+    again = [r["id"] for r in cosine_topk(pool, qvec, 10).collect()]
+    assert exact == again
+    pool.unpersist()
