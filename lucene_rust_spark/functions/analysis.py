@@ -34,9 +34,13 @@ def tokenize(text: str) -> list[str]:
 
 
 def tokenize_series(s: pd.Series) -> pd.Series:
-    """Vectorized batch form used inside pandas UDFs."""
-    toks = s.fillna("").str.lower().str.findall(_TOKEN_RE)
-    return toks.map(lambda ts: [t for t in ts if len(t) <= MAX_TOKEN_LENGTH])
+    """Vectorized batch form used inside pandas UDFs. Order pinned to match
+    tokenize(): find \\w+ runs FIRST, then lowercase each token — lowering
+    the whole string first changes token boundaries for chars whose
+    lowercase form introduces combining marks (e.g. 'İ' → 'i̇', which \\w
+    splits), breaking engine↔oracle identity on non-ASCII corpora."""
+    toks = s.fillna("").str.findall(_TOKEN_RE)
+    return toks.map(lambda ts: [t.lower() for t in ts if len(t) <= MAX_TOKEN_LENGTH])
 
 
 def term_counts_series(s: pd.Series) -> pd.Series:

@@ -348,7 +348,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
     """Exact token-3-gram Jaccard near-dup pairs (J ≥ 0.5, a < b)."""
     t = _toks(spark, sf_dir)
     sh = (
-        t.select(
+        t.filter(F.size("toks") >= 3)  # sequence(0, -1) throws on short docs
+        .select(
             "doc_id",
             F.explode(
                 F.transform(

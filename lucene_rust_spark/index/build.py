@@ -113,11 +113,17 @@ def flat_postings_jvm(d: DataFrame) -> DataFrame:
     on (?U)\\W+ (unicode word runs), drop empties and tokens > 255 chars —
     same pinned analyzer spec as functions/analysis.py (FIXTURES.md §2);
     rank-identity tests prove equivalence with the Python oracle."""
+    # order pinned to the oracle: split FIRST, lowercase per token (lowering
+    # the whole string first can change \W boundaries for non-ASCII); the
+    # remaining deviation is the regex class itself ((?U)\W vs Python \w on
+    # combining marks), proven equivalent on the test corpora by the
+    # rank-identity suite and documented in FIXTURES.md §2
     toks = d.select(
         "doc_id",
         "part",
-        F.explode(F.split(F.lower("content"), r"(?U)\W+")).alias("term"),
-    ).filter((F.col("term") != "") & (F.length("term") <= 255))
+        F.explode(F.split("content", r"(?U)\W+")).alias("raw"),
+    ).filter((F.col("raw") != "") & (F.length("raw") <= 255))
+    toks = toks.select("doc_id", "part", F.lower("raw").alias("term"))
     flat = toks.groupBy("doc_id", "part", "term").agg(F.count("*").cast("int").alias("tf"))
     w_doc = Window.partitionBy("doc_id")
     return flat.select(
@@ -428,8 +434,9 @@ def _dwpt_partition(batches, positions: bool = False):
 
 def norms_jvm(d: DataFrame) -> DataFrame:
     """(doc_id, dl, dlq) without explode or Python: dl = size of the
-    filtered token array; dlq via the SmallFloat SQL expression."""
-    toks = F.split(F.lower("content"), r"(?U)\W+")
+    filtered token array; dlq via the SmallFloat SQL expression. Token
+    COUNT is case-insensitive, so no lower() needed (split-first order)."""
+    toks = F.split("content", r"(?U)\W+")
     dl = F.size(F.filter(toks, lambda x: (x != "") & (F.length(x) <= 255)))
     return d.select("doc_id", dl.alias("dl")).withColumn(
         "dlq", F.expr(dlq_sql("dl")).cast("int")
@@ -457,6 +464,10 @@ def build_index(
     its own group=g parquet subdirectory (idempotent overwrite). A killed
     build resumes from completed group checkpoints (north_rule
     resumability; the checkpoint file is the SegmentCommitInfo analog)."""
+    if analyzer == "jvm" and positions:
+        raise ValueError(
+            "positions require analyzer='dwpt' (the jvm path writes no pos stream)"
+        )
     t_start = time.time()
     # shuffle_width = physical task fan-out for the heavy stages; decoupled
     # from num_partitions (the logical segment count) so CPU-bound kernel

@@ -39,12 +39,18 @@ def exact_dupes(df: DataFrame) -> DataFrame:
 
 
 def _shingles(df: DataFrame, k: int = 3) -> DataFrame:
-    """(id, g) distinct token k-gram shingles, JVM-side."""
+    """(id, g) distinct token k-gram shingles, JVM-side. Docs with fewer
+    than k tokens yield no shingles (sequence(0, -1) would otherwise emit
+    a DESCENDING [0, -1] and slice() throws on the -1 start — short/empty
+    docs are common in training data)."""
     toks = _tok_col()
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(-1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-    )
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         df.select("id", F.explode(grams).alias("g"))
         .filter(F.col("g") != "")
@@ -117,42 +123,62 @@ def minhash_lsh_pairs(
 
 
 def simhash(df: DataFrame, bits: int = 64) -> DataFrame:
-    """(id, sig long) 64-bit SimHash over tf-weighted token hashes —
-    entirely JVM-side: per-token 60-bit md5-derived hash, per-bit weighted
-    votes via explode + groupBy."""
-    toks = _tok_col()
-    flat = (
-        df.select("id", F.explode(toks).alias("t"))
-        .groupBy("id", "t")
-        .agg(F.count("*").alias("tf"))
-        .withColumn(
-            "th", F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
-        )
-    )
-    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
-    votes = (
-        flat.select("id", "tf", "th", bit)
-        .withColumn(
-            "v",
-            F.when(F.shiftright(F.col("th"), F.col("b")).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
-            .otherwise(-F.col("tf")),
-        )
-        .groupBy("id", "b")
-        .agg(F.sum("v").alias("sv"))
-    )
-    return votes.groupBy("id").agg(
-        F.sum(
-            F.when(F.col("sv") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("b"))).otherwise(0)
-        ).alias("sig")
-    )
+    """(id, sig long) 64-bit SimHash over tf-weighted token hashes,
+    computed in one Arrow kernel per batch (mapInPandas). Per-doc SimHash
+    is a pure map — no explode, no shuffle, no per-(id,term,bit) row blowup
+    — which is the 100-TB scale path. Token hash = int(md5(token)[:15 hex])
+    (60 bits), the same family used by the minhash operators, so a SQL
+    oracle stays expressible. Docs with zero tokens get sig = 0."""
+    import hashlib
+    import re
+
+    tok_re = re.compile(TOK_RE)
+    shifts = np.arange(bits, dtype=np.uint64)
+
+    def kern(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(np.int64)
+            lists = [
+                [t for t in tok_re.split(s) if t]
+                for s in pdf["text"].fillna("").str.lower()
+            ]
+            lens = np.fromiter((len(l) for l in lists), dtype=np.int64, count=len(lists))
+            total = int(lens.sum())
+            if total == 0:
+                yield pd.DataFrame({"id": ids, "sig": np.zeros(len(ids), dtype=np.int64)})
+                continue
+            flat = np.empty(total, dtype=object)
+            p = 0
+            for l in lists:
+                flat[p : p + len(l)] = l
+                p += len(l)
+            codes, uniq = pd.factorize(flat)
+            n_u = len(uniq)
+            doc_rep = np.repeat(np.arange(len(lists), dtype=np.int64), lens)
+            uk, tf = np.unique(doc_rep * n_u + codes, return_counts=True)
+            pair_doc, pair_code = uk // n_u, uk % n_u
+            h = np.fromiter(
+                (int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in uniq),
+                dtype=np.uint64,
+                count=n_u,
+            )
+            signs = (2 * ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)) - 1
+            votes = np.zeros((len(lists), bits), dtype=np.int64)
+            np.add.at(votes, pair_doc, tf[:, None] * signs[pair_code])
+            sig = (((votes > 0).astype(np.uint64)) << shifts[None, :]).sum(axis=1)
+            yield pd.DataFrame({"id": ids, "sig": sig.astype(np.int64)})
+
+    return df.select("id", "text").mapInPandas(kern, schema="id long, sig long")
 
 
 def simhash_pairs(df: DataFrame, max_hamming: int = 3, bands: int = 4) -> DataFrame:
     """(a, b, hamming) candidate pairs with Hamming distance <= max_hamming.
     Band trick: split the 64-bit sig into `bands` chunks; any pair within
     distance < bands must agree exactly on >= 1 chunk (pigeonhole), so an
-    equi-join per chunk finds all of them."""
-    assert max_hamming < bands * 2  # pigeonhole validity margin
+    equi-join per chunk finds all of them. Completeness therefore requires
+    max_hamming < bands — a pair with max_hamming == bands differing bits
+    could spread one per chunk and never collide."""
+    assert max_hamming < bands, "pigeonhole requires max_hamming < bands"
     sig = simhash(df).persist()
     try:
         width = 64 // bands

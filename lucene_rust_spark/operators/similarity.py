@@ -79,26 +79,73 @@ def lsh_bucket_col(dim: int, n_planes: int = 12, seed: int = 42):
 
 
 def ann_lsh_topk(
-    emb: DataFrame, qvec: np.ndarray, k: int = 10, n_planes: int = 12, seed: int = 42
+    emb: DataFrame,
+    qvec: np.ndarray,
+    k: int = 10,
+    n_planes: int | None = None,
+    seed: int = 42,
+    min_candidates: int | None = None,
+    max_probes: int = 2048,
 ) -> DataFrame:
-    """Approximate top-k: probe the query's LSH bucket plus all Hamming-1
-    neighbor buckets, exact cosine inside. (id, cos) desc."""
+    """Approximate top-k: probe the query's LSH bucket, widening the
+    multiprobe radius (Hamming 1, 2, …) until the probed set holds at
+    least min_candidates (default 4k) vectors; exact cosine inside.
+    Falls back to brute force when the probe set stays starved (tiny
+    corpora / unlucky signatures) — an ANN that returns fewer than k
+    near-random results is worse than a scan. n_planes defaults to
+    ~log2(n/256) so expected bucket occupancy is a few hundred vectors
+    regardless of corpus size. (id, cos) desc."""
+    from itertools import combinations
+
     dim = len(qvec)
+    n = emb.count()
+    if min_candidates is None:
+        min_candidates = max(4 * k, 100)
+    if n_planes is None:
+        n_planes = int(np.clip(np.log2(max(n, 2) / 256.0), 2, 20))
     H = _hyperplanes(dim, n_planes, seed)
     qsig = 0
     for i in range(n_planes):
         if float(H[i] @ np.asarray(qvec, dtype=np.float64)) > 0:
             qsig |= 1 << i
-    probes = [qsig] + [qsig ^ (1 << i) for i in range(n_planes)]
-    bucketed = emb.withColumn("bk", lsh_bucket_col(dim, n_planes, seed))
-    cand = bucketed.filter(F.col("bk").isin(probes))
-    return cosine_topk(cand.select("id", "embedding"), qvec, k)
+    bucketed = emb.withColumn("bk", lsh_bucket_col(dim, n_planes, seed)).persist()
+    try:
+        probes = {qsig}
+        cand = None
+        for radius in range(n_planes + 1):
+            if radius > 0:
+                for combo in combinations(range(n_planes), radius):
+                    m = 0
+                    for i in combo:
+                        m |= 1 << i
+                    probes.add(qsig ^ m)
+            if len(probes) >= min(2**n_planes, max_probes):
+                cand = bucketed  # probing nearly everything: just scan
+                break
+            cand = bucketed.filter(F.col("bk").isin([int(x) for x in probes]))
+            if cand.count() >= min(min_candidates, n):
+                break
+        out = cosine_topk(cand.select("id", "embedding"), qvec, k).persist()
+        out.count()  # materialize before the bucket cache is dropped
+        return out
+    finally:
+        bucketed.unpersist()
 
 
 def ivf_centroids(emb: DataFrame, n_cells: int = 16, sample: int = 2048, iters: int = 5) -> np.ndarray:
-    """Deterministic k-means-lite on a seeded sample (driver-side numpy —
-    centroid fitting is small; assignment is distributed)."""
-    pdf = emb.orderBy("id").limit(sample).toPandas()
+    """Deterministic k-means-lite on a hash-sampled subset (driver-side
+    numpy — centroid fitting is small; assignment is distributed). The
+    xxhash64(id) filter is a partition-local scan, not a global sort, so
+    sampling stays O(scan) at any corpus size."""
+    n = emb.count()
+    m = max(1, n // sample)
+    pdf = (
+        emb.filter(F.pmod(F.xxhash64(F.col("id")), F.lit(m)) == 0)
+        .limit(sample)
+        .toPandas()
+        .sort_values("id", kind="mergesort")  # driver-side: init order pinned
+        .reset_index(drop=True)
+    )
     X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(42)

@@ -377,6 +377,10 @@ class IndexSearcher:
         if n_clauses > MAX_CLAUSE_COUNT:
             raise ValueError(f"too many clauses: {n_clauses} > {MAX_CLAUSE_COUNT}")
         must_set, should_set = sorted(set(must)), sorted(set(should))
+        if msm > len(should_set):
+            # minimumNumberShouldMatch exceeding the SHOULD clause count can
+            # never be satisfied (Lucene BooleanWeight returns no matches)
+            return self._empty_result()
         scoring = sorted(set(must_set) | set(should_set))
         stats = self.term_stats(scoring)
         if any(t not in stats for t in must_set):

@@ -50,7 +50,9 @@ def test_simhash_near_dupes(spark, docs):
 
     sigs = simhash(docs).toPandas()
     assert len(sigs) == docs.count()
-    pairs = simhash_pairs(docs, max_hamming=3, bands=4).toPandas()
+    # J >= 0.9 ⇒ cos ≈ 0.94 ⇒ expected 64-bit hamming ≈ 64·arccos(.94)/π ≈ 7,
+    # so the candidate radius must sit above that mean to recall them
+    pairs = simhash_pairs(docs, max_hamming=10, bands=12).toPandas()
     # near-dup docs (by Jaccard truth) should appear among low-hamming pairs
     from lucene_rust_spark.gate import dedup_ngram_jaccard
 
@@ -86,7 +88,9 @@ def test_ann_vs_bruteforce(emb):
     pool = emb.filter(F.col("id") != 0).persist()
     exact = [r["id"] for r in cosine_topk(pool, qvec, 10).collect()]
     lsh = [r["id"] for r in ann_lsh_topk(pool, qvec, 10, n_planes=10).collect()]
-    ivf = [r["id"] for r in ivf_topk(pool, qvec, 10, n_cells=8, nprobe=3).collect()]
+    # synthetic embeddings are near-random (weak cluster structure), so the
+    # true top-k spreads across cells: probe half of them for stable recall
+    ivf = [r["id"] for r in ivf_topk(pool, qvec, 10, n_cells=8, nprobe=4).collect()]
     assert len(set(exact) & set(lsh)) >= 6, (exact, lsh)
     assert len(set(exact) & set(ivf)) >= 6, (exact, ivf)
     # exact path is deterministic and ordered

@@ -168,3 +168,17 @@ def test_tokenize_series_matches_scalar():
     texts = ["HashMap<K,V> get_value()", "", None, "x " + "b" * 300, "Üml4ut_ok"]
     out = tokenize_series(pd.Series(texts)).tolist()
     assert out == [tokenize(t) for t in texts]
+
+
+def test_tokenize_series_nonascii_order_pinned():
+    """Tokenize-then-lowercase order: 'İ'.lower() introduces a combining
+    mark (U+0307) that \\w would split — the series path must not lowercase
+    before tokenizing (engine↔oracle identity on non-ASCII corpora)."""
+    import pandas as pd
+
+    texts = ["İstanbul Merge", "ẞtraße İİ x", "ΑΒΓ δε"]
+    out = tokenize_series(pd.Series(texts)).tolist()
+    assert out == [tokenize(t) for t in texts]
+    # the scalar path keeps 'İstanbul' a single token
+    assert tokenize("İstanbul")[0] == "i̇stanbul"
+    assert len(tokenize("İstanbul")) == 1
