@@ -37,8 +37,21 @@ def gate_searcher(spark: SparkSession, sf_dir: str):
     out = os.path.join(_GATE_IDX_ROOT, key)
     src = documents_as_corpus(spark, sf_dir)
     m = read_manifest(out)
-    if m is None or m["doc_count"] != src.count():
-        build_index(spark, src, out, num_partitions=8, resume=False)
+    # reuse only when format AND content match — the content xor-digest
+    # catches same-row-count corpora with different text (stale index)
+    src_xor = src.agg(
+        F.bit_xor(
+            F.conv(F.substring(F.sha2("content", 256), 1, 15), 16, 10).cast("long")
+        ).alias("x")
+    ).first()["x"]
+    src_xor = format(int(src_xor) & 0xFFFFFFFFFFFFFFFF, "016x")
+    if (
+        m is None
+        or m.get("format_version", 1) < 2
+        or not m.get("positions")
+        or m.get("content_sha256_xor") != src_xor
+    ):
+        build_index(spark, src, out, num_partitions=8, resume=False, positions=True)
     s = IndexSearcher(spark, out, cache=True)
     _SEARCHERS[key] = s
     return s

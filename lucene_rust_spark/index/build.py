@@ -170,37 +170,25 @@ def _flatten_postings(batches):
 _BLOCK_SCHEMA = (
     "term string, seg int, block_no int, n int, first_doc long, last_doc long, "
     "max_tf int, min_dlq int, sum_tf long, docs_bin binary, tfs_bin binary, "
-    "dlq_bin binary, pos_bin binary"
+    "dlq_bin binary, pos_bin binary, imp_tf array<int>, imp_dlq array<int>"
 )
 
 
-def pack_blocks(term: str, seg: int, docs: np.ndarray, tfs: np.ndarray, dlqs: np.ndarray) -> list[dict]:
-    """One (term, seg) posting list (doc_id-sorted) → FOR-packed block rows."""
-    rows = []
-    for b0 in range(0, len(docs), K.BLOCK_SIZE):
-        d = docs[b0 : b0 + K.BLOCK_SIZE]
-        t = tfs[b0 : b0 + K.BLOCK_SIZE]
-        q = dlqs[b0 : b0 + K.BLOCK_SIZE]
-        deltas = np.empty(len(d), dtype=np.uint64)
-        deltas[0] = 0  # first doc stored absolute in first_doc column
-        deltas[1:] = (d[1:] - d[:-1]).astype(np.uint64)
-        rows.append(
-            {
-                "term": term,
-                "seg": seg,
-                "block_no": b0 // K.BLOCK_SIZE,
-                "n": len(d),
-                "first_doc": int(d[0]),
-                "last_doc": int(d[-1]),
-                "max_tf": int(t.max()),
-                "min_dlq": int(q.min()),
-                "sum_tf": int(t.sum()),
-                "docs_bin": K.for_pack(deltas),
-                "tfs_bin": K.for_pack(t.astype(np.uint64)),
-                "dlq_bin": q.astype(np.uint8).tobytes(),
-            }
-        )
-    return rows
+def block_impacts(tfs: np.ndarray, dlqs: np.ndarray) -> tuple[list[int], list[int]]:
+    """Per-block competitive impacts (clt/codecs/mod.rs:5
+    competitive_impact_accumulator [stub]; Lucene 9 semantics): the pareto
+    frontier of (tf, dlq) pairs actually PRESENT in the block. A pair is
+    competitive iff no other pair has tf' >= tf AND dlq' <= dlq. The score
+    upper bound max over the frontier is far tighter than the
+    (max_tf, min_dlq) corner — which combines a tf and a norm from two
+    DIFFERENT docs and prunes nothing on randomly-ordered corpora."""
+    order = np.lexsort((dlqs, -tfs))  # tf desc, dlq asc
+    ts, qs = tfs[order], dlqs[order]
+    runmin = np.minimum.accumulate(qs)
+    keep = np.empty(len(qs), dtype=bool)
+    keep[0] = True
+    keep[1:] = qs[1:] < runmin[:-1]  # strictly improves the best norm so far
+    return ts[keep].astype(np.int32).tolist(), qs[keep].astype(np.int32).tolist()
 
 
 def _pack_runs(
@@ -239,6 +227,7 @@ def _pack_runs(
     docs_bin = [K.for_pack(deltas_u[s:e]) for s, e in zip(bstarts, bends)]
     tfs_bin = [K.for_pack(tfs_u[s:e]) for s, e in zip(bstarts, bends)]
     dlq_bin = [dlq_u8[s:e].tobytes() for s, e in zip(bstarts, bends)]
+    impacts = [block_impacts(tfs[s:e], dlqs[s:e]) for s, e in zip(bstarts, bends)]
     if pos_flat is not None:
         # positions: within-posting delta encode (reset at posting starts),
         # one FOR-packed blob per block (the .pos stream analog,
@@ -272,6 +261,8 @@ def _pack_runs(
             "tfs_bin": tfs_bin,
             "dlq_bin": dlq_bin,
             "pos_bin": pos_bin,
+            "imp_tf": [i[0] for i in impacts],
+            "imp_dlq": [i[1] for i in impacts],
         }
     )
 
@@ -502,7 +493,7 @@ def build_index(
     doc_count = sum(gs["doc_count"] for gs in group_stats)
     sum_ttf = sum(gs["sum_ttf"] for gs in group_stats)
     manifest = {
-        "format_version": 1,
+        "format_version": 2,  # v2: per-block competitive impacts (imp_tf/imp_dlq)
         "positions": bool(positions),
         "doc_count": doc_count,
         "sum_total_term_freq": sum_ttf,

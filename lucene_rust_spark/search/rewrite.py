@@ -60,34 +60,41 @@ def levenshtein_within(a: str, b: str, k: int) -> bool:
     return prev[len(b)] <= k
 
 
-def match_terms(q: dict, candidates: list[str]) -> list[str]:
-    """Expand a multi-term query against a sorted candidate term list.
-    Deterministic: output sorted asc, capped (raises on overflow)."""
+def match_candidates(q: dict, candidates) -> list[str]:
+    """The raw automaton/DP membership test of a multi-term query over an
+    iterable of candidate terms — uncapped, order-preserving. This is the
+    per-partition kernel body of the distributed terms-enum intersection
+    (clt/index/automaton_terms_enum.rs:1-87 analog); match_terms() wraps it
+    with the deterministic sort + clause cap."""
     t = q["type"]
     if t == "prefix":
-        out = [c for c in candidates if c.startswith(q["prefix"])]
-    elif t == "range":
+        return [c for c in candidates if c.startswith(q["prefix"])]
+    if t == "range":
         lo, hi = q.get("lo"), q.get("hi")
-        out = [
+        return [
             c
             for c in candidates
             if (lo is None or c >= lo) and (hi is None or c < hi)
         ]
-    elif t in ("wildcard", "regexp"):
+    if t in ("wildcard", "regexp"):
         pat = re.compile(
             wildcard_to_regex(q["pattern"]) if t == "wildcard" else "^" + q["pattern"] + "$"
         )
-        out = [c for c in candidates if pat.match(c)]
-    elif t == "fuzzy":
+        return [c for c in candidates if pat.match(c)]
+    if t == "fuzzy":
         k = int(q.get("max_edits", 2))
         term = q["term"]
-        out = [c for c in candidates if levenshtein_within(term, c, k)]
-    elif t == "in_set":
+        return [c for c in candidates if levenshtein_within(term, c, k)]
+    if t == "in_set":
         want = set(q["terms"])
-        out = [c for c in candidates if c in want]
-    else:
-        raise ValueError(f"not a multi-term query: {t}")
-    out = sorted(set(out))
+        return [c for c in candidates if c in want]
+    raise ValueError(f"not a multi-term query: {t}")
+
+
+def match_terms(q: dict, candidates: list[str]) -> list[str]:
+    """Expand a multi-term query against a sorted candidate term list.
+    Deterministic: output sorted asc, capped (raises on overflow)."""
+    out = sorted(set(match_candidates(q, candidates)))
     if len(out) > MAX_EXPANSIONS:
         raise ValueError(f"too many expansions: {len(out)} > {MAX_EXPANSIONS}")
     return out

@@ -35,27 +35,53 @@ from lucene_rust_spark.oracle.bm25 import query_terms
 from lucene_rust_spark.search.rewrite import (
     CONSTANT_SCORE_TYPES,
     MULTI_TERM_TYPES,
+    match_candidates,
     match_terms,
 )
 
 MAX_CLAUSE_COUNT = 1024  # clt/search/index_searcher.rs:1
+PRUNE_MIN_POSTINGS = 2_000_000  # WAND auto-on crossover (see search_df)
 
 
-@F.pandas_udf(T.FloatType())
-def _f32_ordered_sum(parts: pd.Series) -> pd.Series:
+def _f32_fold(parts_col) -> "F.Column":
     """float32 sum of per-term scores in ascending-term order — the pinned
-    combination order shared with the oracle (oracle/bm25.py)."""
+    combination order shared with the oracle (oracle/bm25.py) — as a pure
+    JVM fold: sort_array on struct(term, score) orders by term, and Spark's
+    FloatType addition is IEEE-754 single precision, so the left-fold is
+    bit-identical to the numpy f32 loop while staying inside whole-stage
+    codegen (no per-row Python in the hot combine path)."""
+    return F.aggregate(
+        F.sort_array(parts_col),
+        F.lit(0.0).cast("float"),
+        lambda acc, x: (acc + x["score"]).cast("float"),
+    )
 
-    def s(lst):
-        acc = np.float32(0.0)
-        for p in lst:
-            acc = np.float32(acc + np.float32(p["score"]))
-        return float(acc)
 
-    return parts.map(s)
+def _dismax_fold(parts_col, tie: float) -> "F.Column":
+    """DisjunctionMax combine (kernels.dismax_combine) as a JVM fold:
+    max + tie * f32-sum(others in ascending-term order, skipping the first
+    occurrence of the max)."""
+    sorted_parts = F.sort_array(parts_col)
+    mx = F.array_max(F.transform(sorted_parts, lambda x: x["score"]))
+    rest = F.aggregate(
+        sorted_parts,
+        F.struct(
+            F.lit(False).alias("skipped"), F.lit(0.0).cast("float").alias("acc")
+        ),
+        lambda a, x: F.struct(
+            (a["skipped"] | (x["score"] == mx)).alias("skipped"),
+            F.when(~a["skipped"] & (x["score"] == mx), a["acc"])
+            .otherwise((a["acc"] + x["score"]).cast("float"))
+            .alias("acc"),
+        ),
+        lambda a: a["acc"],
+    )
+    return (mx + (F.lit(float(tie)).cast("float") * rest).cast("float")).cast("float")
 
 
 class IndexSearcher:
+    PRUNE_MIN_POSTINGS = PRUNE_MIN_POSTINGS  # override per-instance to tune
+
     def __init__(
         self,
         spark: SparkSession,
@@ -93,6 +119,19 @@ class IndexSearcher:
         self.avgdl = np.float32(np.float64(self.sum_ttf) / np.float64(self.doc_count))
         self.sim = get_similarity(similarity, self.doc_count, self.sum_ttf)
         self.norm_cache = getattr(self.sim, "cache", K.bm25_norm_cache(self.avgdl))
+        self._scratch_dfs: list[DataFrame] = []
+
+    def _scratch(self, df: DataFrame) -> None:
+        """Track a persisted per-query intermediate; evict oldest beyond a
+        small window (queries are lazy, so eager unpersist would drop the
+        cache before the caller's action runs)."""
+        self._scratch_dfs.append(df)
+        while len(self._scratch_dfs) > 8:
+            old = self._scratch_dfs.pop(0)
+            try:
+                old.unpersist()
+            except Exception:
+                pass
 
     # -- stats gather (TermStates collection, clt/index/mod.rs:173) ----------
 
@@ -219,49 +258,72 @@ class IndexSearcher:
 
         return blocks.mapInPandas(decode, schema="term string, doc_id long, pos long, dlq int")
 
-    def _phrase_df(self, query: dict, k: int, search_after) -> DataFrame:
-        """PhraseQuery (clt/search/mod.rs:101 [stub]; Lucene semantics):
-        exact adjacency via position-chain joins (the leapfrog position
-        intersect expressed as equi-joins); tf = phrase_freq; idf = float32
-        sum of per-term idfs in ascending-term order."""
+    def _phrase_freq(self, query: dict) -> DataFrame | None:
+        """(doc_id, freq, dlq) of exact-adjacency phrase matches — Lucene's
+        ExactPhraseMatcher shape (clt/search/mod.rs:42 [stub]): intersect at
+        the DOC level first (cheap docs-only decode, no positions), then
+        position-chain only within candidate docs. Without the doc-level
+        pre-join, a common-term phrase shuffles the full position stream of
+        every term through every chain join — the 100x-scale killer the
+        round-1 audit flagged. Returns None when a term is absent."""
         terms = list(query["terms"])
         uniq = sorted(set(terms))
         stats = self.term_stats(uniq)
         if any(t not in stats for t in uniq):
+            return None
+        # doc-level conjunction: docs containing every phrase term
+        cand = (
+            self._term_docs(uniq)
+            .groupBy("doc_id")
+            .agg(F.count_distinct("term").alias("nt"))
+            .filter(F.col("nt") == len(uniq))
+            .select("doc_id")
+        )
+        min_df = min(stats[t]["doc_freq"] for t in uniq)
+        if min_df <= 1_000_000:
+            cand = F.broadcast(cand)
+        pos = self._positions(uniq).join(cand, "doc_id", "left_semi").persist()
+        chain = pos.filter(F.col("term") == terms[0]).select(
+            "doc_id", F.col("pos").alias("p0"), "dlq"
+        )
+        for i, t in enumerate(terms[1:], start=1):
+            nxt = pos.filter(F.col("term") == t).select(
+                "doc_id", (F.col("pos") - i).alias("p0")
+            )
+            chain = chain.join(nxt, ["doc_id", "p0"], "left_semi")
+        freq = chain.groupBy("doc_id").agg(
+            F.count("*").alias("freq"), F.max("dlq").alias("dlq")
+        )
+        self._scratch(pos)
+        return freq
+
+    def _phrase_df(self, query: dict, k: int, search_after) -> DataFrame:
+        """PhraseQuery (clt/search/mod.rs:101 [stub]; Lucene semantics):
+        tf = phrase_freq; idf = float32 sum of per-term idfs in
+        ascending-term order."""
+        freq = self._phrase_freq(query)
+        if freq is None:
             return self._empty_result()
-        pos = self._positions(uniq).persist()
-        try:
-            chain = pos.filter(F.col("term") == terms[0]).select(
-                "doc_id", F.col("pos").alias("p0"), "dlq"
-            )
-            for i, t in enumerate(terms[1:], start=1):
-                nxt = pos.filter(F.col("term") == t).select(
-                    "doc_id", (F.col("pos") - i).alias("p0")
+        uniq = sorted(set(query["terms"]))
+        stats = self.term_stats(uniq)
+        idf_q = np.float32(0.0)
+        for t in uniq:
+            idf_q = np.float32(idf_q + np.float32(stats[t]["idf"]))
+        sim = self.sim
+
+        def score_kernel(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                sc = sim.score(
+                    pdf["freq"].to_numpy(np.int64),
+                    pdf["dlq"].to_numpy(np.int64),
+                    np.full(len(pdf), idf_q, dtype=np.float32),
                 )
-                chain = chain.join(nxt, ["doc_id", "p0"], "left_semi")
-            freq = chain.groupBy("doc_id").agg(
-                F.count("*").alias("freq"), F.max("dlq").alias("dlq")
-            )
-            idf_q = np.float32(0.0)
-            for t in uniq:
-                idf_q = np.float32(idf_q + np.float32(stats[t]["idf"]))
-            sim = self.sim
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "score": sc})
 
-            def score_kernel(batches):
-                for pdf in batches:
-                    if len(pdf) == 0:
-                        continue
-                    sc = sim.score(
-                        pdf["freq"].to_numpy(np.int64),
-                        pdf["dlq"].to_numpy(np.int64),
-                        np.full(len(pdf), idf_q, dtype=np.float32),
-                    )
-                    yield pd.DataFrame({"doc_id": pdf["doc_id"], "score": sc})
-
-            hits = freq.mapInPandas(score_kernel, schema="doc_id long, score float")
-            return self._finish(hits, k, search_after)
-        finally:
-            pos.unpersist()
+        hits = freq.mapInPandas(score_kernel, schema="doc_id long, score float")
+        return self._finish(hits, k, search_after)
 
     def _matching_docs(self, terms: list[str]) -> DataFrame:
         """doc_ids containing any of the terms (no scoring) — for MUST_NOT."""
@@ -281,16 +343,105 @@ class IndexSearcher:
 
         return blocks.mapInPandas(decode, schema="doc_id long").distinct()
 
+    def _term_docs(self, terms: list[str]) -> DataFrame:
+        """(doc_id, term) rows — one per posting, no scores, no norms.
+        The cheap iterator used by count() and conjunction planning."""
+        blocks = self.postings.filter(F.col("term").isin(list(terms))).select(
+            "term", "n", "first_doc", "docs_bin"
+        )
+
+        def decode(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                doc_parts, term_rep = [], []
+                for term, n, fd, db in zip(
+                    pdf["term"], pdf["n"], pdf["first_doc"], pdf["docs_bin"]
+                ):
+                    n = int(n)
+                    docs = np.int64(fd) + np.cumsum(K.for_unpack(bytes(db), n)).astype(np.int64)
+                    doc_parts.append(docs)
+                    term_rep.append(np.repeat(term, n))
+                yield pd.DataFrame(
+                    {"doc_id": np.concatenate(doc_parts), "term": np.concatenate(term_rep)}
+                )
+
+        return blocks.mapInPandas(decode, schema="doc_id long, term string")
+
+    def matching_docs_df(self, query: dict) -> DataFrame:
+        """The matching doc set (doc_id only) for any v1 query — NO scoring,
+        NO top-k sort. TotalHitCountCollector (clt/search/mod.rs:161) and
+        ConstantScore wrappers are count/filter-shaped; ranking the world
+        just to count it is a global-sort anti-pattern at scale."""
+        qt = query.get("type")
+        if qt == "match_all":
+            return self.docmap.select("doc_id")
+        if qt in ("boost", "const_score"):
+            return self.matching_docs_df(query["query"])
+        if qt in CONSTANT_SCORE_TYPES or qt == "fuzzy":
+            terms = self.expand_query_terms(query)
+            if not terms:
+                return self._empty_docs()
+            return self._matching_docs(terms)
+        if qt == "dismax":
+            terms = sorted({c["term"] for c in query["queries"]})
+            return self._matching_docs(terms)
+        if qt == "phrase":
+            freq = self._phrase_freq(query)
+            return freq.select("doc_id") if freq is not None else self._empty_docs()
+
+        must, should, must_not, msm = query_terms(query)
+        must_set, should_set = sorted(set(must)), sorted(set(should))
+        if msm > len(should_set):
+            return self._empty_docs()
+        terms = sorted(set(must_set) | set(should_set))
+        stats = self.term_stats(terms)
+        if any(t not in stats for t in must_set):
+            return self._empty_docs()
+        terms = [t for t in terms if t in stats]
+        if not terms:
+            return self._empty_docs()
+        mn_terms = []
+        if must_not:
+            mn_stats = self.term_stats(sorted(set(must_not)))
+            mn_terms = sorted(t for t in set(must_not) if t in mn_stats)
+        if len(terms) == 1 and msm <= 1 and not mn_terms:
+            return self._matching_docs(terms)
+        # single pass: MUST/SHOULD counting and the MUST_NOT exclusion
+        # (ReqExclScorer, clt/search/mod.rs:118) share one decode + groupBy
+        flat = self._term_docs(sorted(set(terms) | set(mn_terms)))
+        in_must = F.col("term").isin(must_set) if must_set else F.lit(False)
+        in_should = F.col("term").isin(should_set) if should_set else F.lit(False)
+        in_not = F.col("term").isin(mn_terms) if mn_terms else F.lit(False)
+        grouped = flat.groupBy("doc_id").agg(
+            F.sum(F.when(in_must, 1).otherwise(0)).alias("n_must"),
+            F.sum(F.when(in_should, 1).otherwise(0)).alias("n_should"),
+            F.sum(F.when(in_not, 1).otherwise(0)).alias("n_not"),
+        )
+        cond = F.lit(True)
+        if must_set:
+            cond = cond & (F.col("n_must") == len(must_set))
+        if should_set and (msm or not must_set):
+            cond = cond & (F.col("n_should") >= max(msm, 0 if must_set else 1))
+        if mn_terms:
+            cond = cond & (F.col("n_not") == 0)
+        return grouped.filter(cond).select("doc_id")
+
+    def _empty_docs(self) -> DataFrame:
+        return self.spark.createDataFrame([], "doc_id long")
+
     # -- rewrite (MultiTermQuery expansion, clt/search/mod.rs:94) -------------
 
     def expand_query_terms(self, q: dict) -> list[str]:
-        """Collect candidate terms from the terms dict (filter pushed to the
-        term-sorted parquet scan where expressible) and expand driver-side.
-        TODO(scale): FST/automaton intersection instead of a driver collect
-        for very large dictionaries."""
+        """MultiTermQuery expansion (clt/search/mod.rs:94) — the distributed
+        analog of the reference's automaton terms-enum intersection
+        (clt/index/automaton_terms_enum.rs:1-87, clt/util/automaton/
+        operations.rs): a coarse prefilter is pushed into the term-sorted
+        parquet scan (row-group min/max pruning plays the FST seek), and
+        the exact automaton/DP membership test runs INSIDE mapInPandas over
+        the dictionary partitions — only matching terms (≤ 1024 by the
+        clause cap) ever reach the driver, at any dictionary size."""
         t = q["type"]
-        if self._term_dict is not None:
-            return match_terms(q, sorted(self._term_dict))
         td = self.terms
         if t == "prefix":
             cand = td.filter(F.col("term").startswith(q["prefix"]))
@@ -317,7 +468,19 @@ class IndexSearcher:
                     break
                 lit_prefix += ch
             cand = td.filter(F.col("term").startswith(lit_prefix)) if lit_prefix else td
-        names = [r["term"] for r in cand.select("term").collect()]
+
+        qq = {k_: v for k_, v in q.items() if k_ != "boost"}
+
+        def kern(batches, _q=qq):
+            for pdf in batches:
+                hit = match_candidates(_q, pdf["term"].tolist())
+                if hit:
+                    yield pd.DataFrame({"term": hit})
+
+        names = [
+            r["term"]
+            for r in cand.select("term").mapInPandas(kern, schema="term string").collect()
+        ]
         return match_terms(q, sorted(names))
 
     # -- search ---------------------------------------------------------------
@@ -327,10 +490,18 @@ class IndexSearcher:
         query: dict,
         k: int = 10,
         search_after: tuple | None = None,
-        prune: bool = False,
+        prune: bool | None = None,
     ) -> DataFrame:
         """Top-k as a DataFrame (doc_id long, score float), ordered by
-        (score desc, doc_id asc)."""
+        (score desc, doc_id asc). prune=None (default) auto-enables
+        block-max WAND for pure-OR BM25 when the posting volume justifies
+        it: the two-pass plan costs ~2 extra Spark jobs of fixed overhead,
+        which only pays off once the exact path would decode+shuffle more
+        than PRUNE_MIN_POSTINGS postings (measured crossover; at 100-TB
+        head-term df this is always on, at test scale always off).
+        Rank-identity is proven by the on/off equivalence tests either way."""
+        auto_prune = prune is None
+        prune = bool(prune)
         qt = query.get("type")
         if qt == "match_all":
             # MatchAllDocsQuery (clt/search/mod.rs:80)
@@ -345,10 +516,12 @@ class IndexSearcher:
             inner = self.search_df(query["query"], k, search_after, prune)
             return inner.select("doc_id", (F.col("score") * b).cast("float").alias("score"))
         if qt == "const_score":
-            # ConstantScoreQuery (clt/search/mod.rs:24-26)
+            # ConstantScoreQuery (clt/search/mod.rs:24-26): matching doc set
+            # only — no inner scoring, no rank-the-world inner top-k
             c = float(np.float32(query.get("score", 1.0)))
-            inner = self.search_df(query["query"], self.doc_count or 1)
-            hits = inner.select("doc_id", F.lit(c).cast("float").alias("score"))
+            hits = self.matching_docs_df(query["query"]).select(
+                "doc_id", F.lit(c).cast("float").alias("score")
+            )
             return self._finish(hits, k, search_after)
         if qt in CONSTANT_SCORE_TYPES:
             terms = self.expand_query_terms(query)
@@ -388,6 +561,15 @@ class IndexSearcher:
         scoring = [t for t in scoring if t in stats]
         if not scoring:
             return self._empty_result()
+        if auto_prune:
+            prune = (
+                sum(stats[t]["doc_freq"] for t in scoring) >= self.PRUNE_MIN_POSTINGS
+            )
+        mn_terms: list[str] = []
+        if must_not:
+            mn_stats = self.term_stats(sorted(set(must_not)))
+            mn_terms = sorted(t for t in set(must_not) if t in mn_stats)
+            stats = {**stats, **mn_stats}
 
         if (
             prune
@@ -406,29 +588,46 @@ class IndexSearcher:
                     F.broadcast(cand), scored.doc_id == cand.cand, "left_semi"
                 )
         else:
-            scored = self._scored_postings(scoring, stats)
+            # one decode over scoring AND excluded terms: the MUST_NOT check
+            # (ReqExclScorer, clt/search/mod.rs:118) rides the same groupBy
+            # instead of a separate anti-join exchange
+            scored = self._scored_postings(sorted(set(scoring) | set(mn_terms)), stats)
+            if must_set and (len(scoring) > 1 or mn_terms):
+                # conjunction planning (leapfrog order, clt/search/mod.rs:21):
+                # every hit must contain the rarest MUST term, so semi-join
+                # its doc set onto the decoded rows map-side (broadcast hash)
+                # — the groupBy shuffle then carries <= |rarest| docs per
+                # term instead of the full disjunction of all clause terms.
+                # doc_ids are unique within one term's postings: no distinct.
+                rarest = min(must_set, key=lambda t: stats[t]["doc_freq"])
+                if stats[rarest]["doc_freq"] <= 1_000_000:
+                    rare = self._term_docs([rarest]).select("doc_id")
+                    scored = scored.join(F.broadcast(rare), "doc_id", "left_semi")
 
-        if len(scoring) == 1 and not must_not:
+        if len(scoring) == 1 and not mn_terms:
             hits = scored.select("doc_id", "score")
         else:
             in_must = F.col("term").isin(must_set) if must_set else F.lit(False)
             in_should = F.col("term").isin(should_set) if should_set else F.lit(False)
+            in_not = F.col("term").isin(mn_terms) if mn_terms else F.lit(False)
             grouped = scored.groupBy("doc_id").agg(
-                F.sort_array(F.collect_list(F.struct("term", "score"))).alias("parts"),
+                F.collect_list(
+                    F.when(~in_not, F.struct("term", "score"))
+                ).alias("parts"),
                 F.sum(F.when(in_must, 1).otherwise(0)).alias("n_must"),
                 F.sum(F.when(in_should, 1).otherwise(0)).alias("n_should"),
+                F.sum(F.when(in_not, 1).otherwise(0)).alias("n_not"),
             )
             cond = F.lit(True)
             if must_set:
                 cond = cond & (F.col("n_must") == len(must_set))
             if should_set and (msm or not must_set):
                 cond = cond & (F.col("n_should") >= max(msm, 0 if must_set else 1))
+            if mn_terms:
+                cond = cond & (F.col("n_not") == 0)
             hits = grouped.filter(cond).select(
-                "doc_id", _f32_ordered_sum(F.col("parts")).alias("score")
+                "doc_id", _f32_fold(F.col("parts")).alias("score")
             )
-            if must_not:
-                excl = self._matching_docs(sorted(set(must_not)))
-                hits = hits.join(excl, "doc_id", "left_anti")
 
         if search_after is not None:
             s_a, d_a = float(np.float32(search_after[0])), int(search_after[1])
@@ -444,9 +643,20 @@ class IndexSearcher:
         return [(int(r["doc_id"]), float(np.float32(r["score"]))) for r in rows]
 
     def count(self, query: dict) -> int:
-        """TotalHitCountCollector (clt/search/mod.rs:161): exact hit count."""
-        must, should, must_not, msm = query_terms(query)
-        return self.search_df(query, k=self.doc_count or 1).count()
+        """TotalHitCountCollector (clt/search/mod.rs:161): exact hit count
+        over the unscored matching doc set — no scoring, no global sort."""
+        return self.matching_docs_df(query).count()
+
+    def count_with_threshold(self, query: dict, threshold: int = 1000) -> tuple[int, str]:
+        """Early-terminating count (clt/search/index_searcher.rs:3-5
+        TOTAL_HITS_THRESHOLD = 1000; TotalHits.Relation, clt/search/mod.rs:163):
+        stop once `threshold + 1` matches are seen and report a lower bound.
+        The limit() short-circuits the scan (Spark CollectLimit stops early),
+        which is the point at 100-TB corpora where head terms match billions."""
+        n = self.matching_docs_df(query).limit(threshold + 1).count()
+        if n > threshold:
+            return threshold, "GREATER_THAN_OR_EQUAL_TO"
+        return n, "EQUAL_TO"
 
     def fetch(self, hits_df: DataFrame) -> DataFrame:
         """Join top-k back to the doc map — the stored-fields fetch."""
@@ -471,17 +681,10 @@ class IndexSearcher:
         if not terms:
             return self._empty_result()
         scored = self._scored_postings(terms, stats)
-
-        @F.pandas_udf(T.FloatType())
-        def _dismax_sum(parts: pd.Series) -> pd.Series:
-            return parts.map(
-                lambda lst: float(K.dismax_combine([p["score"] for p in lst], tie))
-            )
-
         hits = (
             scored.groupBy("doc_id")
-            .agg(F.sort_array(F.collect_list(F.struct("term", "score"))).alias("parts"))
-            .select("doc_id", _dismax_sum(F.col("parts")).alias("score"))
+            .agg(F.collect_list(F.struct("term", "score")).alias("parts"))
+            .select("doc_id", _dismax_fold(F.col("parts"), tie).alias("score"))
         )
         return self._finish(hits, k, search_after)
 

@@ -39,17 +39,33 @@ _BLOCK_COLS = [
 
 
 def _with_ub(searcher, blocks: DataFrame, stats: dict) -> DataFrame:
-    """Attach the per-block score upper bound, JVM-side: ub = idf *
-    max_tf / (max_tf + cache[min_dlq]), with the 256-entry norm cache and
-    the per-term idf inlined as literal arrays/maps (driver-side constants
-    — the MaxScoreCache analog)."""
+    """Attach the per-block score upper bound, JVM-side, with the 256-entry
+    norm cache and the per-term idf inlined as literal arrays/maps
+    (driver-side constants — the MaxScoreCache analog).
+
+    Format v2 blocks carry competitive impacts (imp_tf/imp_dlq pareto
+    pairs, clt/codecs/mod.rs:5): ub = max over the pairs actually present,
+    which is tight. v1 fallback: the (max_tf, min_dlq) corner bound —
+    loose (combines tf and norm from different docs) but still sound."""
     cache_arr = F.array(*[F.lit(float(x)) for x in searcher.norm_cache])
     idf_map = F.create_map(
         *[x for t in stats for x in (F.lit(t), F.lit(float(stats[t]["idf"])))]
     )
     idf = idf_map[F.col("term")]
-    denom = F.col("max_tf") + F.element_at(cache_arr, F.col("min_dlq") + 1)
-    return blocks.withColumn("ub", idf * (F.col("max_tf") / denom))
+    if "imp_tf" in blocks.columns:
+        ub = F.array_max(
+            F.zip_with(
+                "imp_tf",
+                "imp_dlq",
+                lambda t, q: idf * (t / (t + F.element_at(cache_arr, q + 1))),
+            )
+        )
+    else:
+        ub = idf * (
+            F.col("max_tf")
+            / (F.col("max_tf") + F.element_at(cache_arr, F.col("min_dlq") + 1))
+        )
+    return blocks.withColumn("ub", ub)
 
 
 def wand_candidates(searcher, scoring: list, stats: dict, k: int):
@@ -57,8 +73,10 @@ def wand_candidates(searcher, scoring: list, stats: dict, k: int):
     candidates (when not None) must be semi-joined onto the decoded rows
     before combining — rescore blocks contain non-candidate docs whose
     contributions are incomplete. Falls back to (all blocks, None)."""
-    spark = searcher.spark
-    all_blocks = searcher.postings.filter(F.col("term").isin(list(scoring))).select(*_BLOCK_COLS)
+    cols = _BLOCK_COLS + (
+        ["imp_tf", "imp_dlq"] if "imp_tf" in searcher.postings.columns else []
+    )
+    all_blocks = searcher.postings.filter(F.col("term").isin(list(scoring))).select(*cols)
     blocks = _with_ub(searcher, all_blocks, stats).persist()
     try:
         # global per-term upper bounds (MaxScoreSumPropagator analog)
@@ -68,12 +86,20 @@ def wand_candidates(searcher, scoring: list, stats: dict, k: int):
             return all_blocks.limit(0), None
         total_ub = float(np.sum(list(gub.values()), dtype=np.float64))
 
-        # pass 1: threshold from each term's single best block (exact
-        # partial scores are lower bounds of true scores)
-        w = F.row_number().over(
-            Window.partitionBy("term").orderBy(F.desc("ub"), F.asc("seg"), F.asc("block_no"))
+        # pass 1: threshold from each term's best blocks — ranked by ub,
+        # taking blocks until they cumulatively hold >= 4k postings (a
+        # single block may be a tiny tail block on fragmented indexes, and
+        # fewer than k partial docs would force the no-prune bailout).
+        # Exact partial scores are lower bounds of true scores.
+        wdesc = Window.partitionBy("term").orderBy(
+            F.desc("ub"), F.asc("seg"), F.asc("block_no")
         )
-        best = blocks.withColumn("rk", w).filter(F.col("rk") == 1).drop("rk", "ub")
+        cum_n = F.sum("n").over(wdesc.rowsBetween(Window.unboundedPreceding, 0))
+        best = (
+            blocks.withColumn("cum_n", cum_n)
+            .filter(F.col("cum_n") - F.col("n") < 4 * k)
+            .drop("cum_n", "ub")
+        )
         partial = (
             searcher._scored_postings(scoring, stats, blocks=best)
             .groupBy("doc_id")
@@ -89,6 +115,15 @@ def wand_candidates(searcher, scoring: list, stats: dict, k: int):
         theta = float(partial[-1]["ps"]) * (1.0 - 1e-5)
         if theta <= 0.0:
             return all_blocks, None
+
+        if len(scoring) == 1:
+            # single-term fast path (the q001 head-term shape): every
+            # posting's score is already complete, so blocks whose upper
+            # bound clears theta can be scored directly — no candidate
+            # set, no rescore join. A top-10 on a head term now decodes
+            # only the competitive blocks instead of the full posting list.
+            kept = blocks.filter(F.col("ub") >= F.lit(theta)).select(*_BLOCK_COLS)
+            return kept, None
 
         # pass 2: block-max filter — keep blocks that could contribute to a
         # doc reaching theta
@@ -107,11 +142,19 @@ def wand_candidates(searcher, scoring: list, stats: dict, k: int):
         unseen_ub = F.lit(total_ub) - F.aggregate(
             "seen", F.lit(0.0), lambda acc, t: acc + gub_map[t]
         )
-        cand = cand.filter(F.col("ps") + unseen_ub >= F.lit(theta)).select("doc_id")
-        cand_rows = cand.limit(100_000).collect()
-        if len(cand_rows) >= 100_000:
+        # candidates stay DISTRIBUTED: persist + count (one job), then
+        # broadcast the DataFrame itself — no driver round-trip of up to
+        # 100k doc_ids through collect()/createDataFrame
+        cand_df = (
+            cand.filter(F.col("ps") + unseen_ub >= F.lit(theta))
+            .select(F.col("doc_id").alias("cand"))
+            .persist()
+        )
+        n_cand = cand_df.count()
+        if n_cand >= 100_000:
+            cand_df.unpersist()
             return all_blocks, None  # not selective enough; bail to exact
-        cand_df = spark.createDataFrame([(int(r["doc_id"]),) for r in cand_rows], "cand long")
+        searcher._scratch(cand_df)
 
         # exact rescoring set: every block containing a candidate (the
         # "advance all iterators to the pivot" step) — broadcast range join
