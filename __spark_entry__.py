@@ -81,6 +81,232 @@ _TOKS_CTE = (
     " '[^a-z0-9_]+'), x -> x <> '') AS toks FROM documents)"
 )
 
+_POS_CTE = (
+    f"{_TOKS_CTE}, pos AS (SELECT doc_id, unnest(toks) AS term,"
+    " unnest(generate_series(1, len(toks))) AS pos FROM tk)"
+)
+
+
+def _engine_bm25_scores(spark, sf_dir):
+    """Every posting of 'merge' straight from the INDEX (FOR-block decode +
+    stored norm byte + terms-dict df), scored in double precision so the
+    DuckDB oracle (which recomputes tf/dlq from raw text) must agree on
+    every value — this validates postings tf, SmallFloat quantization,
+    doc_freq and sum_ttf/avgdl, not a DataFrame re-derivation."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from lucene_rust_spark.entry_helpers import doc_id_from_path, gate_searcher
+    from lucene_rust_spark.index.build import dl_decode_sql
+
+    s = gate_searcher(spark, sf_dir)
+    st = s.term_stats(["merge"])
+    if "merge" not in st:
+        return spark.createDataFrame([], "doc_id long, tf long, dlq long, score double")
+    df_ = st["merge"]["doc_freq"]
+    idf = math.log(1.0 + (s.doc_count - df_ + 0.5) / (df_ + 0.5))
+    avgdl = s.sum_ttf / s.doc_count
+    p = doc_id_from_path(s.fetch(s.term_postings("merge"))).select(
+        F.col("orig_doc_id").alias("doc_id"),
+        F.col("tf").cast("long").alias("tf"),
+        F.col("dlq").cast("long").alias("dlq"),
+        F.expr(dl_decode_sql("dlq")).alias("dlv"),
+    )
+    tfn = F.col("tf") / (
+        F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dlv") / F.lit(float(avgdl)))
+    )
+    return p.select(
+        "doc_id", "tf", "dlq", F.round(F.lit(float(idf)) * tfn, 4).alias("score")
+    )
+
+
+_N_FREE = 24  # kernels.NUM_FREE_VALUES (SmallFloat intToByte4 free range)
+
+SQL_ENGINE_BM25_SCORES = f"""
+{_TOKS_CTE},
+dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tk),
+st AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl),
+fl AS (SELECT tk.doc_id, u.term, count(*)::BIGINT AS tf
+       FROM tk, unnest(toks) AS u(term) GROUP BY tk.doc_id, u.term),
+m AS (SELECT fl.doc_id, fl.tf, dl.dl FROM fl JOIN dl USING (doc_id)
+      WHERE fl.term = 'merge'),
+q AS (SELECT m.*, (SELECT count(*) FROM m)::BIGINT AS df, st.n_docs, st.sum_dl
+      FROM m CROSS JOIN st),
+enc AS (SELECT *,
+  (CASE WHEN dl < {_N_FREE} THEN dl
+   ELSE {_N_FREE} + (CASE WHEN length(bin(dl - {_N_FREE})) < 4 OR dl - {_N_FREE} = 0
+                     THEN dl - {_N_FREE}
+                     ELSE ((((dl - {_N_FREE}) >> (length(bin(dl - {_N_FREE})) - 4)) & 7)
+                          | ((length(bin(dl - {_N_FREE})) - 4 + 1) << 3)) END)
+   END) AS dlq FROM q),
+dec AS (SELECT *,
+  (CASE WHEN dlq < {_N_FREE} THEN dlq
+   ELSE {_N_FREE} + (CASE WHEN dlq - {_N_FREE} < 8 THEN (dlq - {_N_FREE}) & 15
+                     ELSE (((dlq - {_N_FREE}) & 7) | 8) << (((dlq - {_N_FREE}) >> 3) - 1) END)
+   END) AS dlv FROM enc)
+SELECT doc_id, tf::BIGINT AS tf, dlq::BIGINT AS dlq,
+  round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        * (tf / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dlv / (sum_dl::DOUBLE / n_docs)))), 4) AS score
+FROM dec
+"""
+
+
+def _engine_synonym_scores(spark, sf_dir):
+    """SynonymQuery blended stats straight from the INDEX: freq = sum of
+    per-term tfs, df = max of the terms' doc_freqs (Lucene SynonymQuery),
+    scored in double so DuckDB must agree value-for-value."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from lucene_rust_spark.entry_helpers import doc_id_from_path, gate_searcher
+    from lucene_rust_spark.index.build import dl_decode_sql
+
+    s = gate_searcher(spark, sf_dir)
+    st = s.term_stats(["merge", "window"])
+    terms = [t for t in ("merge", "window") if t in st]
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, tf long, score double")
+    df_ = max(st[t]["doc_freq"] for t in terms)
+    idf = math.log(1.0 + (s.doc_count - df_ + 0.5) / (df_ + 0.5))
+    avgdl = s.sum_ttf / s.doc_count
+    freqs = (
+        s._postings_freqs(terms)
+        .groupBy("doc_id")
+        .agg(F.sum("tf").cast("long").alias("tf"), F.max("dlq").alias("dlq"))
+    )
+    p = doc_id_from_path(s.fetch(freqs)).select(
+        F.col("orig_doc_id").alias("doc_id"),
+        F.col("tf"),
+        F.expr(dl_decode_sql("dlq")).alias("dlv"),
+    )
+    tfn = F.col("tf") / (
+        F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("dlv") / F.lit(float(avgdl)))
+    )
+    return p.select("doc_id", "tf", F.round(F.lit(float(idf)) * tfn, 4).alias("score"))
+
+
+SQL_ENGINE_SYNONYM_SCORES = f"""
+{_TOKS_CTE},
+dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tk),
+st AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl),
+fl AS (SELECT tk.doc_id, u.term, count(*)::BIGINT AS tf
+       FROM tk, unnest(toks) AS u(term) GROUP BY tk.doc_id, u.term),
+m AS (SELECT fl.doc_id, sum(fl.tf)::BIGINT AS tf, max(dl.dl) AS dl
+      FROM fl JOIN dl USING (doc_id)
+      WHERE fl.term IN ('merge', 'window') GROUP BY fl.doc_id),
+dfs AS (SELECT max(c)::BIGINT AS df FROM
+        (SELECT term, count(*)::BIGINT AS c FROM fl
+         WHERE term IN ('merge', 'window') GROUP BY term)),
+q AS (SELECT m.*, dfs.df, st.n_docs, st.sum_dl FROM m CROSS JOIN dfs CROSS JOIN st),
+enc AS (SELECT *,
+  (CASE WHEN dl < {_N_FREE} THEN dl
+   ELSE {_N_FREE} + (CASE WHEN length(bin(dl - {_N_FREE})) < 4 OR dl - {_N_FREE} = 0
+                     THEN dl - {_N_FREE}
+                     ELSE ((((dl - {_N_FREE}) >> (length(bin(dl - {_N_FREE})) - 4)) & 7)
+                          | ((length(bin(dl - {_N_FREE})) - 4 + 1) << 3)) END)
+   END) AS dlq FROM q),
+dec AS (SELECT *,
+  (CASE WHEN dlq < {_N_FREE} THEN dlq
+   ELSE {_N_FREE} + (CASE WHEN dlq - {_N_FREE} < 8 THEN (dlq - {_N_FREE}) & 15
+                     ELSE (((dlq - {_N_FREE}) & 7) | 8) << (((dlq - {_N_FREE}) >> 3) - 1) END)
+   END) AS dlv FROM enc)
+SELECT doc_id, tf,
+  round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        * (tf / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dlv / (sum_dl::DOUBLE / n_docs)))), 4) AS score
+FROM dec
+"""
+
+
+def _engine_phrase_count(spark, sf_dir):
+    from lucene_rust_spark.entry_helpers import count_df, gate_searcher
+    from lucene_rust_spark.oracle.bm25 import phrase_query
+
+    s = gate_searcher(spark, sf_dir)
+    return count_df(spark, s.count(phrase_query(["merge", "window"])))
+
+
+def _engine_sloppy_count(spark, sf_dir):
+    from lucene_rust_spark.entry_helpers import count_df, gate_searcher
+    from lucene_rust_spark.oracle.bm25 import phrase_query
+
+    s = gate_searcher(spark, sf_dir)
+    return count_df(spark, s.count(phrase_query(["merge", "window"], slop=1)))
+
+
+def _engine_multi_phrase_count(spark, sf_dir):
+    from lucene_rust_spark.entry_helpers import count_df, gate_searcher
+    from lucene_rust_spark.oracle.bm25 import multi_phrase_query
+
+    s = gate_searcher(spark, sf_dir)
+    q = multi_phrase_query([["merge", "batch"], ["window"]])
+    return count_df(spark, s.count(q))
+
+
+def _engine_term_stats(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from lucene_rust_spark.entry_helpers import gate_searcher
+
+    s = gate_searcher(spark, sf_dir)
+    return (
+        s.terms.orderBy(F.desc("doc_freq"), F.asc("term"))
+        .limit(20)
+        .select(
+            "term",
+            F.col("doc_freq").cast("long").alias("doc_freq"),
+            F.col("total_term_freq").cast("long").alias("ttf"),
+        )
+    )
+
+
+def _engine_wildcard_count(spark, sf_dir):
+    from lucene_rust_spark.entry_helpers import count_df, gate_searcher
+
+    s = gate_searcher(spark, sf_dir)
+    return count_df(spark, s.count({"type": "wildcard", "pattern": "mer*"}))
+
+
+def _engine_range_count(spark, sf_dir):
+    from lucene_rust_spark.entry_helpers import count_df, gate_searcher
+
+    s = gate_searcher(spark, sf_dir)
+    return count_df(spark, s.count({"type": "range", "lo": "m", "hi": "s"}))
+
+
+def _engine_delete_count(spark, sf_dir):
+    """Tombstone live-docs view: delete every 'es' doc (metadata delete),
+    then count 'merge' through the engine — validates the anti-join path
+    without mutating the shared gate index."""
+    from pyspark.sql import functions as F
+
+    from lucene_rust_spark.entry_helpers import count_df, gate_searcher
+    from lucene_rust_spark.search.searcher import IndexSearcher
+
+    s = gate_searcher(spark, sf_dir)
+    tomb = s.docmap.filter(F.col("lang") == "es").select("doc_id")
+    s2 = IndexSearcher(spark, s.index_dir, tombstones=tomb)
+    return count_df(spark, s2.count({"type": "term", "term": "merge"}))
+
+
+def _engine_field_lang_count(spark, sf_dir):
+    """Field-scoped term query through the multi-field index: lang:'en'."""
+    from lucene_rust_spark.entry_helpers import count_df, mf_gate_searcher
+
+    ms = mf_gate_searcher(spark, sf_dir)
+    return count_df(
+        spark, ms.count({"type": "term", "field": "lang_field", "term": "en"})
+    )
+
+
+def _engine_count_threshold(spark, sf_dir):
+    from lucene_rust_spark.entry_helpers import gate_searcher
+
+    s = gate_searcher(spark, sf_dir)
+    n, rel = s.count_with_threshold({"type": "term", "term": "merge"}, threshold=50)
+    return spark.createDataFrame([(int(n), rel)], "n_hits long, relation string")
+
 _ENGINE_QUERIES = {
     "engine_prefix_count": (
         _engine_prefix_count,
@@ -120,6 +346,63 @@ _ENGINE_QUERIES = {
         "SELECT count(*)::BIGINT AS n_hits FROM tk WHERE "
         "(list_contains(toks, 'merge')::INT + list_contains(toks, 'window')::INT"
         " + list_contains(toks, 'batch')::INT) >= 2",
+    ),
+    "engine_bm25_scores": (_engine_bm25_scores, SQL_ENGINE_BM25_SCORES),
+    "engine_synonym_scores": (_engine_synonym_scores, SQL_ENGINE_SYNONYM_SCORES),
+    "engine_phrase_count": (
+        _engine_phrase_count,
+        f"{_POS_CTE} SELECT count(DISTINCT a.doc_id)::BIGINT AS n_hits "
+        "FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+        "WHERE a.term = 'merge' AND b.term = 'window'",
+    ),
+    "engine_sloppy_count": (
+        _engine_sloppy_count,
+        # pinned slop semantics: anchor pa of 'merge' with some 'window'
+        # position pb such that |pb - (pa + 1)| <= slop (slop = 1)
+        f"{_POS_CTE} SELECT count(DISTINCT a.doc_id)::BIGINT AS n_hits "
+        "FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND abs(b.pos - a.pos - 1) <= 1 "
+        "WHERE a.term = 'merge' AND b.term = 'window'",
+    ),
+    "engine_multi_phrase_count": (
+        _engine_multi_phrase_count,
+        f"{_POS_CTE} SELECT count(DISTINCT a.doc_id)::BIGINT AS n_hits "
+        "FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+        "WHERE a.term IN ('merge', 'batch') AND b.term = 'window'",
+    ),
+    "engine_term_stats": (
+        _engine_term_stats,
+        f"{_TOKS_CTE}, fl AS (SELECT tk.doc_id, u.term, count(*)::BIGINT AS tf "
+        "FROM tk, unnest(toks) AS u(term) GROUP BY tk.doc_id, u.term) "
+        "SELECT term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS ttf "
+        "FROM fl GROUP BY term ORDER BY doc_freq DESC, term ASC LIMIT 20",
+    ),
+    "engine_wildcard_count": (
+        _engine_wildcard_count,
+        f"{_TOKS_CTE} SELECT count(*)::BIGINT AS n_hits FROM tk "
+        "WHERE len(list_filter(toks, x -> x LIKE 'mer%')) > 0",
+    ),
+    "engine_range_count": (
+        _engine_range_count,
+        f"{_TOKS_CTE} SELECT count(*)::BIGINT AS n_hits FROM tk "
+        "WHERE len(list_filter(toks, x -> x >= 'm' AND x < 's')) > 0",
+    ),
+    "engine_delete_count": (
+        _engine_delete_count,
+        f"{_TOKS_CTE} SELECT count(*)::BIGINT AS n_hits "
+        "FROM tk JOIN documents d ON tk.doc_id = d.doc_id "
+        "WHERE list_contains(toks, 'merge') AND d.lang <> 'es'",
+    ),
+    "engine_field_lang_count": (
+        _engine_field_lang_count,
+        "SELECT count(*)::BIGINT AS n_hits FROM documents WHERE lang = 'en'",
+    ),
+    "engine_count_threshold": (
+        _engine_count_threshold,
+        f"{_TOKS_CTE}, c AS (SELECT count(*)::BIGINT AS n FROM tk "
+        "WHERE list_contains(toks, 'merge')) "
+        "SELECT LEAST(n, 50)::BIGINT AS n_hits, "
+        "CASE WHEN n > 50 THEN 'GREATER_THAN_OR_EQUAL_TO' ELSE 'EQUAL_TO' END AS relation "
+        "FROM c",
     ),
 }
 

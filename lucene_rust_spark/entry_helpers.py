@@ -57,6 +57,36 @@ def gate_searcher(spark: SparkSession, sf_dir: str):
     return s
 
 
+def mf_gate_searcher(spark: SparkSession, sf_dir: str):
+    """Multi-field gate index (lang field) — validates the field-routing
+    path end-to-end through a real sub-index."""
+    import json
+
+    from lucene_rust_spark.search.multifield import (
+        MultiFieldSearcher,
+        build_multi_field_index,
+    )
+
+    key = os.path.basename(os.path.normpath(sf_dir)) + "_mf"
+    if key in _SEARCHERS:
+        return _SEARCHERS[key]
+    out = os.path.join(_GATE_IDX_ROOT, key)
+    src = documents_as_corpus(spark, sf_dir)
+    meta_path = os.path.join(out, "multifield.json")
+    need = True
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            need = json.load(f).get("doc_count") != src.count()
+    if need:
+        build_multi_field_index(
+            spark, src.withColumn("lang_field", F.col("lang")), out,
+            fields=("lang_field",), num_partitions=4,
+        )
+    ms = MultiFieldSearcher(spark, out, cache=True)
+    _SEARCHERS[key] = ms
+    return ms
+
+
 def count_df(spark: SparkSession, n: int) -> DataFrame:
     return spark.createDataFrame([(int(n),)], "n_hits long")
 

@@ -25,22 +25,54 @@ MAX_TOKEN_LENGTH = 255  # StandardAnalyzer DEFAULT_MAX_TOKEN_LENGTH
 
 _TOKEN_RE = re.compile(r"\w+", re.UNICODE)
 
+# Lucene EnglishAnalyzer.ENGLISH_STOP_WORDS_SET (public constant) — wired
+# but OFF by default (FIXTURES.md pins the no-stopword analyzer; StopFilter
+# surface: clt/analysis/mod.rs:17, CharArraySet :8)
+ENGLISH_STOP_WORDS = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or such "
+    "that the their then there these they this to was will with".split()
+)
 
-def tokenize(text: str) -> list[str]:
-    """Pinned analyzer: \\w+ runs, ≤255 chars, lowercased. Oracle + engine."""
+
+def _filter_tokens(raw: list[str], stop_words) -> list[str]:
+    out = []
+    for t in raw:
+        if len(t) > MAX_TOKEN_LENGTH:
+            continue
+        lt = t.lower()
+        if stop_words and lt in stop_words:
+            continue
+        out.append(lt)
+    return out
+
+
+def tokenize(text: str, stop_words=None, char_filters=None) -> list[str]:
+    """Pinned analyzer: optional CharFilter chain (regex mappings,
+    clt/analysis/mod.rs:9) → \\w+ runs, ≤255 chars, lowercase → optional
+    StopFilter. Deviation from Lucene's StopFilter pinned in FIXTURES.md:
+    positions are post-filter indices (no position-increment gaps) — the
+    oracle and engine share this function, so identity holds. Oracle +
+    engine."""
     if not text:
         return []
-    return [t.lower() for t in _TOKEN_RE.findall(text) if len(t) <= MAX_TOKEN_LENGTH]
+    if char_filters:
+        for pat, repl in char_filters:
+            text = re.sub(pat, repl, text)
+    return _filter_tokens(_TOKEN_RE.findall(text), stop_words)
 
 
-def tokenize_series(s: pd.Series) -> pd.Series:
+def tokenize_series(s: pd.Series, stop_words=None, char_filters=None) -> pd.Series:
     """Vectorized batch form used inside pandas UDFs. Order pinned to match
     tokenize(): find \\w+ runs FIRST, then lowercase each token — lowering
     the whole string first changes token boundaries for chars whose
     lowercase form introduces combining marks (e.g. 'İ' → 'i̇', which \\w
     splits), breaking engine↔oracle identity on non-ASCII corpora."""
-    toks = s.fillna("").str.findall(_TOKEN_RE)
-    return toks.map(lambda ts: [t.lower() for t in ts if len(t) <= MAX_TOKEN_LENGTH])
+    s = s.fillna("")
+    if char_filters:
+        for pat, repl in char_filters:
+            s = s.str.replace(pat, repl, regex=True)
+    toks = s.str.findall(_TOKEN_RE)
+    return toks.map(lambda ts: _filter_tokens(ts, stop_words))
 
 
 def term_counts_series(s: pd.Series) -> pd.Series:

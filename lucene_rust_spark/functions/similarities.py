@@ -23,10 +23,16 @@ class Similarity:
 
     def __init__(self, doc_count: int, sum_ttf: int):
         self.doc_count = doc_count
+        self.sum_ttf = sum_ttf
         self.avgdl = np.float32(np.float64(sum_ttf) / np.float64(max(doc_count, 1)))
 
     def idf(self, doc_freq: int) -> np.float32:
         raise NotImplementedError
+
+    def weight(self, doc_freq: int, total_term_freq: int) -> np.float32:
+        """Per-term statistic fed to score() — idf for tf-idf families,
+        collection LM probability for the LM families."""
+        return self.idf(doc_freq)
 
     def score(self, tf: np.ndarray, dlq: np.ndarray, idf: np.ndarray) -> np.ndarray:
         raise NotImplementedError
@@ -79,7 +85,72 @@ class Boolean(Similarity):
         return np.ones(len(tf), dtype=np.float32)
 
 
-SIMILARITIES = {"bm25": BM25, "classic": ClassicTFIDF, "boolean": Boolean}
+class LMDirichlet(Similarity):
+    """LMDirichletSimilarity (clt/search/similarities/mod.rs:1-46 [stub];
+    Lucene 9 public formula, mu=2000): score = log(1 + tf/(mu*P(t|C))) +
+    log(mu/(dl+mu)), clamped at 0; dl is the SmallFloat-decoded norm.
+    All float32, pinned op order."""
+
+    name = "lmd"
+    MU = np.float32(2000.0)
+
+    def __init__(self, doc_count: int, sum_ttf: int):
+        super().__init__(doc_count, sum_ttf)
+        self.dl_cache = K.byte4_to_int(np.arange(256)).astype(np.float32)
+
+    def idf(self, doc_freq: int) -> np.float32:
+        return np.float32(1.0)  # LM has no idf; weight() carries P(t|C)
+
+    def weight(self, doc_freq: int, total_term_freq: int) -> np.float32:
+        return np.float32(
+            np.float64(max(total_term_freq, 1)) / np.float64(max(self.sum_ttf, 1))
+        )
+
+    def score(self, tf, dlq, idf):
+        w = idf.astype(np.float32)  # P(t|C)
+        tf32 = tf.astype(np.float32)
+        dl = self.dl_cache[np.asarray(dlq, dtype=np.int64) & 0xFF]
+        s = np.log1p(tf32 / (self.MU * w)).astype(np.float32) + np.log(
+            self.MU / (dl + self.MU)
+        ).astype(np.float32)
+        return np.maximum(s.astype(np.float32), np.float32(0.0))
+
+
+class LMJelinekMercer(Similarity):
+    """LMJelinekMercerSimilarity (Lucene 9 public formula, lambda=0.1):
+    score = log(1 + ((1-l)*tf/dl) / (l*P(t|C))), clamped at 0."""
+
+    name = "lmjm"
+    LAMBDA = np.float32(0.1)
+
+    def __init__(self, doc_count: int, sum_ttf: int):
+        super().__init__(doc_count, sum_ttf)
+        self.dl_cache = np.maximum(K.byte4_to_int(np.arange(256)), 1).astype(np.float32)
+
+    def idf(self, doc_freq: int) -> np.float32:
+        return np.float32(1.0)
+
+    def weight(self, doc_freq: int, total_term_freq: int) -> np.float32:
+        return np.float32(
+            np.float64(max(total_term_freq, 1)) / np.float64(max(self.sum_ttf, 1))
+        )
+
+    def score(self, tf, dlq, idf):
+        w = idf.astype(np.float32)
+        tf32 = tf.astype(np.float32)
+        dl = self.dl_cache[np.asarray(dlq, dtype=np.int64) & 0xFF]
+        one_m = np.float32(1.0) - self.LAMBDA
+        s = np.log1p((one_m * tf32 / dl) / (self.LAMBDA * w)).astype(np.float32)
+        return np.maximum(s, np.float32(0.0))
+
+
+SIMILARITIES = {
+    "bm25": BM25,
+    "classic": ClassicTFIDF,
+    "boolean": Boolean,
+    "lmd": LMDirichlet,
+    "lmjm": LMJelinekMercer,
+}
 
 
 def get_similarity(name: str, doc_count: int, sum_ttf: int) -> Similarity:

@@ -18,6 +18,7 @@ SmallFloat norm quantization (inside the same kernel), and block packing.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import time
@@ -42,6 +43,8 @@ from lucene_rust_spark.functions.analysis import tokenize_series
 from lucene_rust_spark.index.manifest import commit_manifest, read_manifest
 
 PARTITION_SHIFT = 40
+NORM_TERM = ""  # sentinel term for norm blocks riding the DWPT output
+                # (real terms are never empty: the tokenizer drops them)
 
 # --- docID assignment -------------------------------------------------------
 
@@ -104,6 +107,19 @@ ELSE {n} + (
   ELSE (shiftright({v}, length(bin({v})) - 4) & 7)
        | ((length(bin({v})) - 4 + 1) << 3)
   END)
+END"""
+
+
+def dl_decode_sql(col: str = "dlq") -> str:
+    """SmallFloat byte4ToInt as a pure SQL expression (inverse of dlq_sql)
+    — shared shape with the DuckDB oracle so quantized-norm scores are
+    recomputable exactly on both sides."""
+    n = K.NUM_FREE_VALUES
+    e = f"({col} - {n})"
+    return f"""
+CASE WHEN {col} < {n} THEN {col}
+ELSE {n} + (CASE WHEN {e} < 8 THEN {e} & 15
+            ELSE shiftleft(({e} & 7) | 8, shiftright({e}, 3) - 1) END)
 END"""
 
 
@@ -310,13 +326,14 @@ def _pack_partition(batches):
 
 
 def _count_batch(
-    doc_ids: np.ndarray, parts: np.ndarray, content: pd.Series, positions: bool = False
+    doc_ids: np.ndarray, parts: np.ndarray, content: pd.Series, positions: bool = False,
+    stop_words=None, char_filters=None,
 ):
     """Vectorized per-batch term counting → flat (doc, seg, dlq, code, tf)
     pair arrays + batch vocab. With positions=True also returns the ragged
     per-pair token-position stream (pos_flat sorted ascending within each
     pair, counts == tf give the offsets)."""
-    toks = tokenize_series(content)
+    toks = tokenize_series(content, stop_words=stop_words, char_filters=char_filters)
     lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
     dl = lens
     dlq = K.int_to_byte4(dl)
@@ -324,7 +341,7 @@ def _count_batch(
     if total == 0:
         empty = np.zeros(0, dtype=np.int64)
         return (empty, empty.astype(np.int32), empty.astype(np.uint8),
-                empty, empty.astype(np.int32), np.zeros(0, dtype=object), empty)
+                empty, empty.astype(np.int32), np.zeros(0, dtype=object), empty, dl)
     all_tokens = np.empty(total, dtype=object)
     pos = 0
     for t in toks:
@@ -354,28 +371,38 @@ def _count_batch(
         counts.astype(np.int32),
         np.asarray(uniques, dtype=object),
         pos_flat,
+        dl,
     )
 
 
-def _dwpt_partition(batches, positions: bool = False):
+def _dwpt_partition(batches, positions: bool = False, stop_words=None, char_filters=None):
     """mapInPandas kernel — the DocumentsWriterPerThread analog
     (clt/index/mod.rs:33): this task holds complete segments (docs are
     hash-routed by part), accumulates per-doc term counts across Arrow
     batches, then sorts (term, seg, doc_id) ONCE in numpy and emits
     FOR-packed block rows. Only packed blocks leave the task, so the
     downstream shuffle carries ~n_postings/128 rows. Memory is bounded by
-    the segment size (num_partitions is the flush-by-RAM knob)."""
+    the segment size (num_partitions is the flush-by-RAM knob).
+
+    Norms ride the same output as NORM_TERM sentinel blocks (docs_bin =
+    packed doc deltas, tfs_bin = packed exact dl, dlq_bin = norm bytes):
+    one content pass produces postings AND norms, instead of a second
+    full-corpus tokenize just to count tokens."""
     acc = []
     pos_acc = []
+    norm_docs, norm_parts, norm_dls = [], [], []
     vocab: dict = {}
     vocab_list: list = []
     for pdf in batches:
-        docs_b, segs_b, dlqs_b, codes_b, tfs_b, uniques_b, pos_b = _count_batch(
-            pdf["doc_id"].to_numpy(np.int64),
-            pdf["part"].to_numpy(np.int64),
-            pdf["content"],
-            positions,
+        b_doc_ids = pdf["doc_id"].to_numpy(np.int64)
+        b_parts = pdf["part"].to_numpy(np.int64)
+        docs_b, segs_b, dlqs_b, codes_b, tfs_b, uniques_b, pos_b, dl_b = _count_batch(
+            b_doc_ids, b_parts, pdf["content"], positions,
+            stop_words=stop_words, char_filters=char_filters,
         )
+        norm_docs.append(b_doc_ids)
+        norm_parts.append(b_parts)
+        norm_dls.append(dl_b)
         pos_acc.append(pos_b)
         # remap batch-local term codes into the task-level vocabulary
         remap = np.empty(len(uniques_b), dtype=np.int64)
@@ -387,6 +414,25 @@ def _dwpt_partition(batches, positions: bool = False):
                 vocab_list.append(term)
             remap[j] = c
         acc.append((docs_b, segs_b, dlqs_b, remap[codes_b] if len(codes_b) else codes_b, tfs_b))
+
+    # norm sentinel blocks — every doc, including token-less ones
+    nd = np.concatenate(norm_docs) if norm_docs else np.zeros(0, dtype=np.int64)
+    if len(nd):
+        npart = np.concatenate(norm_parts).astype(np.int64)
+        ndl = np.concatenate(norm_dls).astype(np.int64)
+        ndlq = K.int_to_byte4(ndl).astype(np.int64)
+        order_n = np.lexsort((nd, npart))
+        out = _pack_runs(
+            np.zeros(len(nd), dtype=np.int64)[order_n],
+            npart[order_n],
+            nd[order_n],
+            ndl[order_n],
+            ndlq[order_n],
+            term_values=np.asarray([NORM_TERM], dtype=object),
+        )
+        if out is not None and len(out):
+            yield out
+
     if not acc:
         return
     docs = np.concatenate([a[0] for a in acc])
@@ -437,6 +483,66 @@ def norms_jvm(d: DataFrame) -> DataFrame:
 # --- build -------------------------------------------------------------------
 
 
+def stage_corpus(
+    spark: SparkSession,
+    source,
+    out_dir: str,
+    num_partitions: int,
+    num_groups: int,
+    shard: int = 0,
+    n_shards: int = 1,
+    resume: bool = True,
+) -> dict:
+    """Stage the corpus ONCE, bucketed by checkpoint group — the map side
+    of the build's single corpus shuffle, materialized to disk: compute
+    the deterministic partition key + per-row sha256 and write rows under
+    staged/shard=S/grp=G (write.partitionBy, no shuffle). Every group job
+    afterwards reads ONLY its grp=G files, partition-pruned.
+
+    Why: the round-1 scaling bench measured 0.35 efficiency because each
+    of G concurrent group builders re-scanned and re-hashed the FULL
+    corpus and threw away (G-1)/G of it; staged reads make the per-group
+    work 1/G of the corpus, which is what lets N -> 4N executors scale.
+
+    Shard-parallel: shard s of n_shards processes input files s::n_shards
+    (disjoint file sets — exactly how a cluster's map tasks split a scan).
+    `source` is a parquet path (shardable) or a DataFrame (n_shards=1)."""
+    os.makedirs(os.path.join(out_dir, "checkpoints"), exist_ok=True)
+    ck = os.path.join(out_dir, "checkpoints", f"stage_{shard}.json")
+    if resume and os.path.exists(ck):
+        with open(ck) as f:
+            return json.load(f)
+    if isinstance(source, str):
+        if n_shards > 1:
+            files = sorted(glob.glob(os.path.join(source, "*.parquet")))
+            if not files:
+                raise FileNotFoundError(f"no parquet files under {source}")
+            src = spark.read.parquet(*files[shard::n_shards])
+        else:
+            src = spark.read.parquet(source)
+    else:
+        assert n_shards == 1, "DataFrame source cannot be file-sharded"
+        src = source
+    d = with_partition(src, num_partitions)
+    d = d.withColumn("grp", (F.col("part") % num_groups).cast("int")).withColumn(
+        "content_sha256", F.sha2(F.col("content"), 256)
+    )
+    dest = os.path.join(out_dir, "staged", f"shard={shard}")
+    d.write.mode("overwrite").partitionBy("grp").parquet(dest)
+    stats = {"shard": shard, "n_shards": n_shards}
+    with open(ck + ".tmp", "w") as f:
+        json.dump(stats, f)
+    os.replace(ck + ".tmp", ck)
+    return stats
+
+
+def _staged_group(spark: SparkSession, out_dir: str, g: int) -> DataFrame | None:
+    paths = sorted(glob.glob(os.path.join(out_dir, "staged", "shard=*", f"grp={g}")))
+    if not paths:
+        return None
+    return spark.read.parquet(*paths)
+
+
 def build_index(
     spark: SparkSession,
     source: DataFrame,
@@ -447,14 +553,20 @@ def build_index(
     shuffle_width: int | None = None,
     analyzer: str = "dwpt",
     positions: bool = False,
+    cleanup_staged: bool = True,
+    stop_words=None,
+    char_filters=None,
 ) -> dict:
     """Build the full index under out_dir. Returns the committed manifest.
 
-    num_groups > 1 splits the build into independent checkpointed jobs
-    (group g owns partitions with part % num_groups == g), each writing
-    its own group=g parquet subdirectory (idempotent overwrite). A killed
-    build resumes from completed group checkpoints (north_rule
-    resumability; the checkpoint file is the SegmentCommitInfo analog)."""
+    Three checkpointed phases (each resumable, north_rule resumability;
+    the checkpoint files are the SegmentCommitInfo analogs):
+      1. stage:    one corpus pass -> staged/shard=S/grp=G (part + sha256)
+      2. groups:   num_groups independent jobs, each reading ONLY its
+                   grp=G staged files (partition-pruned — no redundant
+                   scans across concurrent group builders)
+      3. finalize: global terms dict + manifest commit
+    On a cluster, phases 1 and 2 are what N vs 4N executors parallelize."""
     if analyzer == "jvm" and positions:
         raise ValueError(
             "positions require analyzer='dwpt' (the jvm path writes no pos stream)"
@@ -464,30 +576,68 @@ def build_index(
     # from num_partitions (the logical segment count) so CPU-bound kernel
     # stages always use every core regardless of AQE coalescing
     width = shuffle_width or spark.sparkContext.defaultParallelism
+    stage_corpus(spark, source, out_dir, num_partitions, num_groups, resume=resume)
     group_stats = []
     for g in range(num_groups):
         gs = build_group_job(
-            spark, source, out_dir, g, num_groups, num_partitions,
+            spark, None, out_dir, g, num_groups, num_partitions,
             width=width, analyzer=analyzer, positions=positions, resume=resume,
+            stop_words=stop_words, char_filters=char_filters,
         )
         group_stats.append(gs)
 
     # global term dictionary (the OrdinalMap/global-terms analog,
-    # clt/index/ordinal_map.rs) — tiny relative to corpus, one extra agg
+    # clt/index/ordinal_map.rs): merge the per-group partials — the
+    # postings-sized map side ran INSIDE each (parallel) group job, so
+    # this serial tail is only O(vocab × groups), not O(postings)
     t_terms = time.time()
-    postings = spark.read.parquet(os.path.join(out_dir, "postings"))
-    (
-        postings.groupBy("term")
-        .agg(
+    partial_dirs = sorted(glob.glob(os.path.join(out_dir, "terms_partial", "group=*")))
+    if partial_dirs:
+        src_terms = spark.read.parquet(*partial_dirs).groupBy("term").agg(
+            F.sum("doc_freq").cast("long").alias("doc_freq"),
+            F.sum("total_term_freq").cast("long").alias("total_term_freq"),
+            F.sum("n_blocks").cast("long").alias("n_blocks"),
+        )
+    else:  # legacy indexes without partials
+        postings = spark.read.parquet(os.path.join(out_dir, "postings"))
+        src_terms = postings.groupBy("term").agg(
             F.sum("n").cast("long").alias("doc_freq"),
             F.sum("sum_tf").cast("long").alias("total_term_freq"),
             F.count("*").cast("long").alias("n_blocks"),
         )
-        .repartitionByRange(max(1, num_partitions // 8), "term")
-        .sortWithinPartitions("term")
+    ranged = src_terms.repartitionByRange(
+        max(1, min(num_partitions // 8, 64)), "term"
+    ).sortWithinPartitions("term")
+
+    # global term ordinals (OrdinalMap, clt/index/ordinal_map.rs:1-527):
+    # range partitions are term-ordered, so ordinal = partition offset +
+    # local rank. Two vocab-sized passes (local ranks, then per-partition
+    # counts collected to offsets) — never a single-partition global sort.
+    def _local_rank(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        base = 0
+        for pdf in batches:
+            pdf = pdf.assign(pid=pid, local_ord=np.arange(base, base + len(pdf)))
+            base += len(pdf)
+            yield pdf
+
+    schema = "term string, doc_freq long, total_term_freq long, n_blocks long, pid int, local_ord long"
+    loc = ranged.mapInPandas(_local_rank, schema=schema).persist()
+    counts = {r["pid"]: r["n"] for r in loc.groupBy("pid").agg(F.count("*").alias("n")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_map = F.create_map(*[x for p in offsets for x in (F.lit(p), F.lit(offsets[p]))])
+    (
+        loc.withColumn("ordinal", (off_map[F.col("pid")] + F.col("local_ord")).cast("long"))
+        .drop("pid", "local_ord")
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "terms"))
     )
+    loc.unpersist()
     _dbg("terms", t_terms)
 
     doc_count = sum(gs["doc_count"] for gs in group_stats)
@@ -495,6 +645,8 @@ def build_index(
     manifest = {
         "format_version": 2,  # v2: per-block competitive impacts (imp_tf/imp_dlq)
         "positions": bool(positions),
+        "stop_words": sorted(stop_words) if stop_words else None,
+        "char_filters": [list(cf) for cf in char_filters] if char_filters else None,
         "doc_count": doc_count,
         "sum_total_term_freq": sum_ttf,
         "num_partitions": num_partitions,
@@ -508,6 +660,14 @@ def build_index(
         "files": ["postings", "norms", "docmap", "terms"],
     }
     commit_manifest(out_dir, manifest)
+    if cleanup_staged:
+        # the staged corpus is build scaffolding — once the manifest is
+        # committed it is never read again (resume re-stages if needed)
+        import shutil
+
+        shutil.rmtree(os.path.join(out_dir, "staged"), ignore_errors=True)
+        for f in glob.glob(os.path.join(out_dir, "checkpoints", "stage_*.json")):
+            os.remove(f)
     return manifest
 
 
@@ -522,61 +682,119 @@ def build_group_job(
     analyzer: str = "dwpt",
     positions: bool = False,
     resume: bool = True,
+    stop_words=None,
+    char_filters=None,
 ) -> dict:
     """Build exactly one checkpoint group and write its checkpoint — the
     unit of distributed work: independent group-builder processes (or a
     resumed driver) each run one of these; build_index(resume=True)
-    afterwards finalizes terms + manifest from the checkpoints."""
+    afterwards finalizes terms + manifest from the checkpoints.
+
+    Reads the group's staged slice (partition-pruned) when staging ran;
+    falls back to scan+filter of `source` only when no staged data exists
+    (legacy path — O(corpus) per group, avoid for multi-group builds)."""
     width = width or spark.sparkContext.defaultParallelism
     os.makedirs(os.path.join(out_dir, "checkpoints"), exist_ok=True)
     ck_path = os.path.join(out_dir, "checkpoints", f"group_{g}.json")
     if resume and os.path.exists(ck_path):
         with open(ck_path) as f:
             return json.load(f)
-    docs = with_partition(source, num_partitions)
-    gs = _build_group(docs, out_dir, g, num_groups, width, analyzer, positions)
+    docs = _staged_group(spark, out_dir, g)
+    if docs is None:
+        if source is None:
+            # staging ran but this group received no rows (tiny corpus)
+            if glob.glob(os.path.join(out_dir, "staged", "shard=*")):
+                gs = {"group": g, "doc_count": 0, "sum_ttf": 0, "segments": [],
+                      "content_sha256_xor": format(0, "016x")}
+                with open(ck_path + ".tmp", "w") as f:
+                    json.dump(gs, f)
+                os.replace(ck_path + ".tmp", ck_path)
+                return gs
+            raise FileNotFoundError(f"no staged corpus under {out_dir}/staged")
+        docs = with_partition(source, num_partitions)
+        if num_groups > 1:
+            docs = docs.filter(F.col("part") % num_groups == g)
+    gs = _build_group(
+        docs, out_dir, g, num_groups, width, analyzer, positions,
+        stop_words=stop_words, char_filters=char_filters,
+    )
     with open(ck_path + ".tmp", "w") as f:
         json.dump(gs, f)
     os.replace(ck_path + ".tmp", ck_path)  # atomic per-group checkpoint
     return gs
 
 
+def _unpack_norm_blocks(batches):
+    """Sentinel norm blocks → (doc_id, dl, dlq) rows."""
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        doc_parts, dl_parts, dlq_parts = [], [], []
+        for n, fd, db, tb, qb in zip(
+            pdf["n"], pdf["first_doc"], pdf["docs_bin"], pdf["tfs_bin"], pdf["dlq_bin"]
+        ):
+            n = int(n)
+            docs = np.int64(fd) + np.cumsum(K.for_unpack(bytes(db), n)).astype(np.int64)
+            doc_parts.append(docs)
+            dl_parts.append(K.for_unpack(bytes(tb), n).astype(np.int32))
+            dlq_parts.append(np.frombuffer(bytes(qb), dtype=np.uint8).astype(np.int32))
+        yield pd.DataFrame(
+            {
+                "doc_id": np.concatenate(doc_parts),
+                "dl": np.concatenate(dl_parts),
+                "dlq": np.concatenate(dlq_parts),
+            }
+        )
+
+
 def _build_group(
     docs_with_part: DataFrame, out_dir: str, g: int, num_groups: int, width: int,
     analyzer: str = "dwpt", positions: bool = False,
+    postings_dirname: str = "postings",
+    stop_words=None, char_filters=None,
 ) -> dict:
-    """Build one checkpoint group: segments for parts ≡ g (mod num_groups).
-    The part filter sits below the docID window (same partitionBy key), so
-    each group job shuffles only its own slice of the corpus."""
-    d = docs_with_part.filter(F.col("part") % num_groups == g) if num_groups > 1 else docs_with_part
-    d = assign_doc_ids(d).persist()
+    """Build one checkpoint group from its (pre-filtered) slice of the
+    corpus. With the dwpt analyzer the slice's content is read EXACTLY
+    ONCE (the DWPT kernel emits postings and sentinel norm blocks in the
+    same pass); docmap reuses the staged per-row sha256 when present.
+    postings_dirname routes the postings write into the index's CURRENT
+    postings generation (streaming appends after a merge compaction)."""
+    d = assign_doc_ids(docs_with_part).persist()
 
     def gdir(name: str) -> str:
+        if name == "postings":
+            name = postings_dirname
         return os.path.join(out_dir, name, f"group={g}")
 
     t = time.time()
     # doc map: identity + per-row sha256 integrity hash — pure JVM, no UDF
-    # (row-store role stays with the source table, SURVEY.md §1.4)
+    # (row-store role stays with the source table, SURVEY.md §1.4);
+    # staged corpora carry the hash already (content column not touched)
+    sha = (
+        F.col("content_sha256")
+        if "content_sha256" in d.columns
+        else F.sha2(F.col("content"), 256)
+    )
     docmap = d.select(
         "doc_id", "part", "repo", "path", "commit", "lang",
-        F.sha2(F.col("content"), 256).alias("content_sha256"),
+        sha.alias("content_sha256"),
     ).persist()
     docmap.drop("part").repartitionByRange(max(1, width // 4), "doc_id").sortWithinPartitions(
         "doc_id"
     ).write.mode("overwrite").parquet(gdir("docmap"))
     t = _dbg("docmap", t)
 
-    # norms: JVM-only (no explode, no shuffle) — dl + SmallFloat dlq
-    norms = norms_jvm(d).persist()
-    norms.repartitionByRange(max(1, width // 4), "doc_id").sortWithinPartitions(
-        "doc_id"
-    ).write.mode("overwrite").parquet(gdir("norms"))
-    t = _dbg("norms", t)
-
     # postings: DWPT-per-task local build → packed blocks → ONE shuffle of
     # block rows into global term-range order (the hierarchical merge:
     # Spark's range shuffle IS the k-way term merge, SURVEY.md §2.3)
     if analyzer == "jvm":
+        if stop_words or char_filters:
+            raise ValueError("stop_words/char_filters require analyzer='dwpt'")
+        norms = norms_jvm(d).persist()
+        norms.repartitionByRange(max(1, width // 4), "doc_id").sortWithinPartitions(
+            "doc_id"
+        ).write.mode("overwrite").parquet(gdir("norms"))
+        t = _dbg("norms", t)
         flat = flat_postings_jvm(d)
         blocks_local = (
             flat.repartitionByRange(width, "term")
@@ -584,33 +802,79 @@ def _build_group(
             .mapInPandas(_pack_partition, schema=_BLOCK_SCHEMA)
         )
         blocks_local.write.mode("overwrite").parquet(gdir("postings"))
+        spark = docs_with_part.sparkSession
+        (
+            spark.read.parquet(gdir("postings"))
+            .groupBy("term")
+            .agg(
+                F.sum("n").cast("long").alias("doc_freq"),
+                F.sum("sum_tf").cast("long").alias("total_term_freq"),
+                F.count("*").cast("long").alias("n_blocks"),
+            )
+            .write.mode("overwrite")
+            .parquet(gdir("terms_partial"))
+        )
+        t = _dbg("postings", t)
+        seg_ttf = {
+            int(r["seg"]): int(r["ttf"])
+            for r in norms.groupBy(F.shiftright("doc_id", PARTITION_SHIFT).alias("seg"))
+            .agg(F.sum("dl").alias("ttf"))
+            .collect()
+        }
+        norms.unpersist()
     else:
         # d is already hash-partitioned by part (the docID window shuffle),
         # and persisted — each cached partition holds complete segments, so
         # no second content shuffle is needed
         routed = d.select("doc_id", "part", "content")
 
-        def dwpt(batches, _p=positions):
-            return _dwpt_partition(batches, positions=_p)
+        sw = frozenset(stop_words) if stop_words else None
+        cf = tuple(tuple(c) for c in char_filters) if char_filters else None
+
+        def dwpt(batches, _p=positions, _sw=sw, _cf=cf):
+            return _dwpt_partition(batches, positions=_p, stop_words=_sw, char_filters=_cf)
 
         # persist before repartitionByRange: the range sampling pass would
         # otherwise re-run the whole DWPT kernel a second time
         blocks = routed.mapInPandas(dwpt, schema=_BLOCK_SCHEMA).persist()
         (
-            blocks.repartitionByRange(width, "term")
+            blocks.filter(F.col("term") != NORM_TERM)
+            .repartitionByRange(width, "term")
             .sortWithinPartitions("term", "seg", "block_no")
             .write.mode("overwrite")
             .parquet(gdir("postings"))
         )
+        # per-group terms partial (map side of the global dictionary agg,
+        # computed here so it parallelizes across group builders and the
+        # finalize tail only merges vocab-sized partials)
+        (
+            blocks.filter(F.col("term") != NORM_TERM)
+            .groupBy("term")
+            .agg(
+                F.sum("n").cast("long").alias("doc_freq"),
+                F.sum("sum_tf").cast("long").alias("total_term_freq"),
+                F.count("*").cast("long").alias("n_blocks"),
+            )
+            .write.mode("overwrite")
+            .parquet(gdir("terms_partial"))
+        )
+        norm_blocks = blocks.filter(F.col("term") == NORM_TERM)
+        (
+            norm_blocks.select("n", "first_doc", "docs_bin", "tfs_bin", "dlq_bin")
+            .mapInPandas(_unpack_norm_blocks, schema="doc_id long, dl int, dlq int")
+            .repartitionByRange(max(1, width // 4), "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(gdir("norms"))
+        )
+        # per-segment total term freq straight from block metadata
+        seg_ttf = {
+            int(r["seg"]): int(r["ttf"])
+            for r in norm_blocks.groupBy("seg").agg(F.sum("sum_tf").alias("ttf")).collect()
+        }
         blocks.unpersist()
-    t = _dbg("postings", t)
+    t = _dbg("postings+norms", t)
 
-    seg_ttf = {
-        int(r["seg"]): int(r["ttf"])
-        for r in norms.groupBy(F.shiftright("doc_id", PARTITION_SHIFT).alias("seg"))
-        .agg(F.sum("dl").alias("ttf"))
-        .collect()
-    }
     seg_rows = (
         docmap.groupBy("part")
         .agg(
@@ -623,8 +887,8 @@ def _build_group(
         .collect()
     )
     t = _dbg("seg_stats", t)
-    norms.unpersist()
     docmap.unpersist()
+    d.unpersist()
     segments = [
         {
             "seg": int(r["part"]),

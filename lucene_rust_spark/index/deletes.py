@@ -1,0 +1,89 @@
+"""Deletes / live docs — the tombstone analog of Lucene's .liv bitsets.
+
+Reference surface: clt/index/leaf_reader.rs:250 (get_live_docs), del-count
+validation core/index/segment_index.rs:228-269, buffered delete surface
+clt/index/mod.rs:9-10,60 (all [stub]; Lucene 9 public semantics).
+
+Spark mapping (SURVEY.md §1.4): live docs = anti-join with a tombstone
+DataFrame. Semantics pinned to Lucene:
+- deletes are logical: postings/norms/terms stats are NOT rewritten —
+  doc_freq/idf keep their pre-delete values until a merge reclaims them
+  (exactly like Lucene, where IndexSearcher stats include deleted docs)
+- matching docs are filtered from every query result and count
+- del_count is tracked in the manifest and validated by CheckIndex
+  (doc_count stays maxDoc; live docs = doc_count - del_count)
+
+Each delete batch appends a new tombstone generation parquet (immutable,
+like .liv files per commit); readers union all generations.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lucene_rust_spark.index.manifest import commit_manifest, read_manifest
+
+TOMBSTONE_DIR = "tombstones"
+
+
+def read_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """Union of all tombstone generations → (doc_id) or None when empty."""
+    gens = sorted(glob.glob(os.path.join(index_dir, TOMBSTONE_DIR, "gen=*")))
+    if not gens:
+        return None
+    return spark.read.parquet(*gens).select("doc_id").distinct()
+
+
+def delete_by_ids(spark: SparkSession, index_dir: str, doc_ids) -> dict:
+    """Delete by internal doc_id (list[int] or a (doc_id) DataFrame).
+    Appends a tombstone generation + commits a manifest with updated
+    del_count. Idempotent on re-delete (distinct union at read)."""
+    m = read_manifest(index_dir)
+    if m is None:
+        raise FileNotFoundError(f"no manifest in {index_dir}")
+    if isinstance(doc_ids, DataFrame):
+        df = doc_ids.select(F.col(doc_ids.columns[0]).cast("long").alias("doc_id"))
+    else:
+        df = spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id long")
+    gen = m["generation"] + 1
+    dest = os.path.join(index_dir, TOMBSTONE_DIR, f"gen={gen}")
+    df.distinct().write.mode("overwrite").parquet(dest)
+
+    all_tomb = read_tombstones(spark, index_dir)
+    del_count = all_tomb.count() if all_tomb is not None else 0
+    manifest = dict(m)
+    manifest.update({"generation": gen, "del_count": del_count})
+    commit_manifest(index_dir, manifest)
+    return manifest
+
+
+def delete_by_term(spark: SparkSession, index_dir: str, term: str) -> dict:
+    """Delete every live doc containing `term` (IndexWriter.deleteDocuments
+    (Term) analog, clt/index/mod.rs:77 [stub]): resolve the doc set from
+    the postings (docs-only decode, no scoring) and tombstone it."""
+    from lucene_rust_spark.search.searcher import IndexSearcher
+
+    s = IndexSearcher(spark, index_dir)
+    docs = s._matching_docs([term])
+    return delete_by_ids(spark, index_dir, docs)
+
+
+def check_deletes(spark: SparkSession, index_dir: str) -> dict:
+    """CheckIndex extension (clt/index/mod.rs:12): validate del_count ==
+    |tombstones|, every tombstone maps to a real doc, and live docs =
+    doc_count - del_count (core/index/segment_index.rs:228-269 analog)."""
+    m = read_manifest(index_dir)
+    t = read_tombstones(spark, index_dir)
+    n_tomb = t.count() if t is not None else 0
+    assert m.get("del_count", 0) == n_tomb, (m.get("del_count"), n_tomb)
+    docmap = spark.read.parquet(os.path.join(index_dir, "docmap"))
+    if t is not None:
+        orphans = t.join(docmap.select("doc_id"), "doc_id", "left_anti").count()
+        assert orphans == 0, f"{orphans} tombstones reference unknown docs"
+    live = docmap.count() - n_tomb
+    assert live == m["doc_count"] - n_tomb
+    return {"del_count": n_tomb, "live_docs": live, "max_doc": m["doc_count"]}

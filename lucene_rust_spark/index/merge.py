@@ -26,41 +26,68 @@ from lucene_rust_spark.index.build import _BLOCK_SCHEMA, _pack_runs
 from lucene_rust_spark.index.manifest import commit_manifest, read_manifest
 
 
-def _repack_partition(batches):
+def _repack_partition(batches, positions: bool = False):
     """Input: block rows sorted by (term, mseg, seg, block_no) — every
     (term, mseg) run is a globally docID-sorted sequence of packed blocks
     from fan_in source segments. Decode, concatenate, re-pack. Streaming
-    with a carried tail run, like the build packer."""
-    pend = None  # (terms, msegs, docs, tfs, dlqs) arrays of the tail run
+    with a carried tail run, like the build packer. With positions=True
+    the per-posting position streams (pos_bin, within-posting deltas) are
+    decoded to absolute positions and re-delta'd across the new block
+    boundaries by _pack_runs — a merged positional index answers phrase
+    queries identically to the unmerged one."""
+    pend = None  # (terms, msegs, docs, tfs, dlqs[, pos_flat]) of the tail run
 
     def decode_rows(pdf: pd.DataFrame):
-        terms, msegs, docs, tfs, dlqs = [], [], [], [], []
-        for term, mseg, n, first_doc, db, tb, qb in zip(
+        terms, msegs, docs, tfs, dlqs, pos = [], [], [], [], [], []
+        for row in zip(
             pdf["term"], pdf["mseg"], pdf["n"], pdf["first_doc"],
             pdf["docs_bin"], pdf["tfs_bin"], pdf["dlq_bin"],
+            pdf["pos_bin"] if positions else pdf["term"],
         ):
+            term, mseg, n, first_doc, db, tb, qb, pb = row
             n = int(n)
             d = np.int64(first_doc) + np.cumsum(K.for_unpack(bytes(db), n)).astype(np.int64)
             docs.append(d)
-            tfs.append(K.for_unpack(bytes(tb), n).astype(np.int64))
+            t = K.for_unpack(bytes(tb), n).astype(np.int64)
+            tfs.append(t)
             dlqs.append(np.frombuffer(bytes(qb), dtype=np.uint8).astype(np.int64))
             terms.append(np.repeat(term, n))
             msegs.append(np.full(n, int(mseg), dtype=np.int64))
+            if positions:
+                total = int(t.sum())
+                pdeltas = K.for_unpack(bytes(pb), total).astype(np.int64)
+                # segmented cumsum → absolute positions (searcher._positions)
+                offs = np.concatenate(([0], np.cumsum(t)[:-1]))
+                cs = np.cumsum(pdeltas)
+                base = np.zeros(total, dtype=np.int64)
+                base[offs[1:]] = cs[offs[1:] - 1]
+                np.maximum.accumulate(base, out=base)
+                pos.append(cs - base)
         if not docs:
             return None
-        return (
+        out = [
             np.concatenate(terms),
             np.concatenate(msegs),
             np.concatenate(docs),
             np.concatenate(tfs),
             np.concatenate(dlqs),
-        )
+        ]
+        if positions:
+            out.append(np.concatenate(pos) if pos else np.zeros(0, dtype=np.int64))
+        return tuple(out)
 
     def split_tail(cols):
         terms, msegs = cols[0], cols[1]
         n = len(terms)
         same = (terms == terms[n - 1]) & (msegs == msegs[n - 1])
         return 0 if same.all() else n - int(same[::-1].argmin())
+
+    def pack(cols):
+        if positions:
+            tfs = cols[3]
+            offsets = np.concatenate(([0], np.cumsum(tfs)))
+            return _pack_runs(*cols[:5], pos_flat=cols[5], pos_offsets=offsets)
+        return _pack_runs(*cols)
 
     for pdf in batches:
         cols = decode_rows(pdf)
@@ -69,14 +96,19 @@ def _repack_partition(batches):
         if pend is not None:
             cols = tuple(np.concatenate((a, b)) for a, b in zip(pend, cols))
             pend = None
-        ts = split_tail(cols)
-        pend = tuple(c[ts:] for c in cols)
-        head = tuple(c[:ts] for c in cols)
-        out = _pack_runs(*head)
+        ts = split_tail(cols[:5])
+        pos_cut = int(cols[3][:ts].sum()) if positions else None
+        pend = tuple(
+            c[pos_cut:] if positions and i == 5 else c[ts:] for i, c in enumerate(cols)
+        )
+        head = tuple(
+            c[:pos_cut] if positions and i == 5 else c[:ts] for i, c in enumerate(cols)
+        )
+        out = pack(head)
         if out is not None and len(out):
             yield out
     if pend is not None and len(pend[0]):
-        out = _pack_runs(*pend)
+        out = pack(pend)
         if out is not None and len(out):
             yield out
 
@@ -90,22 +122,30 @@ def merge_segments(
     width = width or spark.sparkContext.defaultParallelism
     m = read_manifest(index_dir)
     assert m is not None
-    if m.get("positions"):
-        raise NotImplementedError("merge of positional indexes is v2 (pos stream repack)")
-    postings = spark.read.parquet(os.path.join(index_dir, "postings"))
+    positions = bool(m.get("positions"))
+    postings = spark.read.parquet(
+        os.path.join(index_dir, m.get("postings_dir", "postings"))
+    )
     keyed = postings.withColumn("mseg", (F.col("seg") / fan_in).cast("int"))
+    cols = ["term", "mseg", "n", "first_doc", "docs_bin", "tfs_bin", "dlq_bin"]
+    if positions:
+        cols.append("pos_bin")
+
+    def repack(batches, _p=positions):
+        return _repack_partition(batches, positions=_p)
+
     merged = (
         keyed.repartitionByRange(width, "term")
         .sortWithinPartitions("term", "mseg", "seg", "block_no")
-        .select(
-            "term", F.col("mseg").alias("mseg"), "n", "first_doc",
-            "docs_bin", "tfs_bin", "dlq_bin",
-        )
-        .mapInPandas(_repack_partition, schema=_BLOCK_SCHEMA)
+        .select(*cols)
+        .mapInPandas(repack, schema=_BLOCK_SCHEMA)
     )
     gen = m["generation"] + 1
-    out_postings = os.path.join(index_dir, f"postings_g{gen}")
-    merged.withColumnRenamed("seg", "seg").write.mode("overwrite").parquet(out_postings)
+    # merged blocks live under group=0 so the generation dir keeps the
+    # build's partitioned layout — later streaming appends add sibling
+    # group=<epoch> dirs and partition discovery stays consistent
+    out_postings = os.path.join(index_dir, f"postings_g{gen}", "group=0")
+    merged.write.mode("overwrite").parquet(out_postings)
 
     # merged segment records: group source segments by mseg
     segs: dict[int, dict] = {}

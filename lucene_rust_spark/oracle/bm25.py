@@ -59,6 +59,7 @@ class OracleIndex:
     sum_ttf: int
     meta: pd.DataFrame = field(repr=False, default=None)
     contents: list = field(repr=False, default=None)  # aligned to doc_ids
+    analyzer_opts: dict = field(default_factory=dict)  # stop_words/char_filters
 
     @property
     def avgdl(self) -> np.float32:
@@ -72,14 +73,16 @@ class OracleIndex:
         return K.bm25_idf(df, self.doc_count)
 
 
-def build_oracle_index(df: pd.DataFrame, num_partitions: int) -> OracleIndex:
+def build_oracle_index(
+    df: pd.DataFrame, num_partitions: int, stop_words=None, char_filters=None
+) -> OracleIndex:
     df = assign_doc_ids(df, num_partitions)
     doc_ids = df["doc_id"].to_numpy(np.int64)  # sorted by construction
     assert (np.diff(doc_ids) > 0).all()
     postings: dict[str, tuple[list, list]] = {}
     dl = np.zeros(len(df), dtype=np.int64)
     for i, text in enumerate(df["content"]):
-        toks = tokenize(text)
+        toks = tokenize(text, stop_words=stop_words, char_filters=char_filters)
         dl[i] = len(toks)
         counts: dict[str, int] = {}
         for t in toks:
@@ -101,6 +104,7 @@ def build_oracle_index(df: pd.DataFrame, num_partitions: int) -> OracleIndex:
         sum_ttf=int(dl.sum()),
         meta=df[["doc_id", "repo", "path", "commit", "lang"]],
         contents=df["content"].tolist(),
+        analyzer_opts={"stop_words": stop_words, "char_filters": char_filters},
     )
 
 
@@ -111,8 +115,20 @@ def term_query(t: str) -> dict:
     return {"type": "term", "term": t}
 
 
-def phrase_query(terms) -> dict:
-    return {"type": "phrase", "terms": list(terms)}
+def phrase_query(terms, slop: int = 0) -> dict:
+    return {"type": "phrase", "terms": list(terms), "slop": int(slop)}
+
+
+def multi_phrase_query(slots, slop: int = 0) -> dict:
+    """MultiPhraseQuery (clt/search/mod.rs:93): alternative terms per
+    position, e.g. slots=[["get","set"], ["value"]]."""
+    return {"type": "multi_phrase", "slots": [list(s) for s in slots], "slop": int(slop)}
+
+
+def synonym_query(terms) -> dict:
+    """SynonymQuery (clt/search/mod.rs:145): terms scored as one
+    pseudo-term with blended stats (df = max, freq = sum)."""
+    return {"type": "synonym", "terms": list(terms)}
 
 
 def bool_query(must=(), should=(), must_not=(), min_should_match=0) -> dict:
@@ -181,24 +197,39 @@ def oracle_search(
         if not terms:
             return []
         q = bool_query(should=terms)
-    if qt == "phrase":
-        terms = list(q["terms"])
-        uniq = sorted(set(terms))
-        if any(t not in idx.postings for t in uniq):
+    if qt in ("phrase", "multi_phrase"):
+        # pinned slop semantics (mirrors searcher._phrase_freq): anchor p0
+        # of slot 0 matches iff every slot i has a position p_i of any of
+        # its terms with |p_i - (p0 + i)| <= slop; freq = matching anchors
+        slop = int(q.get("slop", 0) or 0)
+        if qt == "multi_phrase":
+            slots = [sorted(set(s)) for s in q["slots"]]
+        else:
+            slots = [[t] for t in q["terms"]]
+        slots = [[t for t in s if t in idx.postings] for s in slots]
+        if any(not s for s in slots):
             return []
-        cand = idx.postings[uniq[0]][0]
-        for t in uniq[1:]:
-            cand = np.intersect1d(cand, idx.postings[t][0])
+        uniq = sorted({t for s in slots for t in s})
+        cand = None
+        for s in slots:
+            docs = np.unique(np.concatenate([idx.postings[t][0] for t in s]))
+            cand = docs if cand is None else np.intersect1d(cand, docs)
         idf_q = np.float32(0.0)
         for t in uniq:  # ascending-term order (pinned)
             idf_q = np.float32(idf_q + sim.idf(len(idx.postings[t][0])))
         hit_i, freqs = [], []
         for i in cand:
-            toks = tokenize(idx.contents[int(i)])
-            m = len(terms)
-            freq = sum(
-                1 for j in range(len(toks) - m + 1) if toks[j : j + m] == terms
-            )
+            toks = tokenize(idx.contents[int(i)], **(idx.analyzer_opts or {}))
+            pos_by_slot = [
+                {j for j, tok in enumerate(toks) if tok in set(s)} for s in slots
+            ]
+            freq = 0
+            for p0 in sorted(pos_by_slot[0]):
+                if all(
+                    any(abs(p - (p0 + off)) <= slop for p in pos_by_slot[off])
+                    for off in range(1, len(slots))
+                ):
+                    freq += 1
             if freq:
                 hit_i.append(int(i))
                 freqs.append(freq)
@@ -210,6 +241,21 @@ def oracle_search(
             np.full(len(hi), idf_q, dtype=np.float32),
         )
         return _rank(idx.doc_ids[hi], scores, k, search_after)
+    if qt == "synonym":
+        terms = sorted({t for t in q["terms"] if t in idx.postings})
+        if not terms:
+            return []
+        df_blend = max(len(idx.postings[t][0]) for t in terms)
+        idf = sim.idf(df_blend)
+        freq = np.zeros(idx.doc_count, dtype=np.int64)
+        for t in terms:
+            ix, tf = idx.postings[t]
+            freq[ix] += tf
+        hit = np.flatnonzero(freq)
+        scores = sim.score(
+            freq[hit], idx.dlq[hit], np.full(len(hit), idf, dtype=np.float32)
+        )
+        return _rank(idx.doc_ids[hit], scores, k, search_after)
     if qt == "dismax":
         terms = sorted({c["term"] for c in q["queries"]})
         tie = float(q.get("tie", 0.0))
@@ -240,7 +286,7 @@ def oracle_search(
         if t not in idx.postings:
             continue
         ix, tf = idx.postings[t]
-        idf = sim.idf(len(ix))
+        idf = sim.weight(len(ix), int(np.asarray(tf).sum()))
         s = sim.score(tf, idx.dlq[ix], np.full(len(ix), idf, dtype=np.float32))
         score_acc[ix] = (score_acc[ix] + s).astype(np.float32)
         touched[ix] = True

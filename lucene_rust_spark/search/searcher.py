@@ -88,12 +88,26 @@ class IndexSearcher:
         index_dir: str,
         cache: bool = False,
         similarity: str = "bm25",
+        tombstones: DataFrame | None = None,
     ):
+        """tombstones: optional (doc_id) DataFrame of ephemeral deletes
+        applied on top of any on-disk tombstone generations — the
+        IndexReader-with-liveDocs view (clt/index/leaf_reader.rs:250)."""
         self.spark = spark
         self.index_dir = index_dir
         self.manifest = read_manifest(index_dir)
         if self.manifest is None:
             raise FileNotFoundError(f"no manifest in {index_dir}")
+        from lucene_rust_spark.index.deletes import read_tombstones
+
+        disk_tomb = read_tombstones(spark, index_dir)
+        if tombstones is not None:
+            t = tombstones.select(F.col(tombstones.columns[0]).cast("long").alias("doc_id"))
+            disk_tomb = t if disk_tomb is None else disk_tomb.unionByName(t).distinct()
+        self.tombstones = disk_tomb
+        self._tomb_count = int(disk_tomb.count()) if disk_tomb is not None else 0
+        if self.tombstones is not None:
+            self.tombstones = self.tombstones.persist()
         postings_dir = self.manifest.get("postings_dir", "postings")
         self.postings = spark.read.parquet(os.path.join(index_dir, postings_dir))
         terms_dir = self.manifest.get("terms_dir", "terms")
@@ -143,7 +157,9 @@ class IndexSearcher:
                 t: {
                     "doc_freq": self._term_dict[t][0],
                     "total_term_freq": self._term_dict[t][1],
-                    "idf": float(self.sim.idf(self._term_dict[t][0])),
+                    "idf": float(
+                        self.sim.weight(self._term_dict[t][0], self._term_dict[t][1])
+                    ),
                 }
                 for t in terms
                 if t in self._term_dict
@@ -158,7 +174,9 @@ class IndexSearcher:
             out[r["term"]] = {
                 "doc_freq": int(r["doc_freq"]),
                 "total_term_freq": int(r["total_term_freq"]),
-                "idf": float(self.sim.idf(int(r["doc_freq"]))),
+                "idf": float(
+                    self.sim.weight(int(r["doc_freq"]), int(r["total_term_freq"]))
+                ),
             }
         return out
 
@@ -258,38 +276,73 @@ class IndexSearcher:
 
         return blocks.mapInPandas(decode, schema="term string, doc_id long, pos long, dlq int")
 
+    @staticmethod
+    def _phrase_slots(query: dict) -> list[list[str]]:
+        """Normalize phrase / multi_phrase ASTs to per-position term slots
+        (MultiPhraseQuery, clt/search/mod.rs:93 [stub]: alternative terms
+        per position)."""
+        if query.get("type") == "multi_phrase":
+            return [sorted(set(s)) for s in query["slots"]]
+        return [[t] for t in query["terms"]]
+
     def _phrase_freq(self, query: dict) -> DataFrame | None:
-        """(doc_id, freq, dlq) of exact-adjacency phrase matches — Lucene's
-        ExactPhraseMatcher shape (clt/search/mod.rs:42 [stub]): intersect at
-        the DOC level first (cheap docs-only decode, no positions), then
+        """(doc_id, freq, dlq) of phrase matches — Exact/SloppyPhraseMatcher
+        shape (clt/search/mod.rs:42,99,137 [stub]): intersect at the DOC
+        level first (cheap docs-only decode, no positions), then
         position-chain only within candidate docs. Without the doc-level
         pre-join, a common-term phrase shuffles the full position stream of
         every term through every chain join — the 100x-scale killer the
-        round-1 audit flagged. Returns None when a term is absent."""
-        terms = list(query["terms"])
-        uniq = sorted(set(terms))
+        round-1 audit flagged.
+
+        Pinned slop semantics (FIXTURES.md; Lucene's sloppy matcher is an
+        edit-distance machine — we pin the displacement-window form, exact
+        for 2-term phrases and a documented superset for longer ones): an
+        anchor position p0 of slot 0 matches iff every slot i has some
+        position p_i of any of its terms with |p_i - (p0 + i)| <= slop;
+        freq = number of matching anchors. slop=0 is exact adjacency.
+        Returns None when any slot has no indexed term."""
+        slop = int(query.get("slop", 0) or 0)
+        slots = self._phrase_slots(query)
+        uniq = sorted({t for s in slots for t in s})
         stats = self.term_stats(uniq)
-        if any(t not in stats for t in uniq):
+        slots = [[t for t in s if t in stats] for s in slots]
+        if any(not s for s in slots):
             return None
-        # doc-level conjunction: docs containing every phrase term
-        cand = (
-            self._term_docs(uniq)
-            .groupBy("doc_id")
-            .agg(F.count_distinct("term").alias("nt"))
-            .filter(F.col("nt") == len(uniq))
-            .select("doc_id")
-        )
-        min_df = min(stats[t]["doc_freq"] for t in uniq)
+        uniq = sorted({t for s in slots for t in s})
+        # doc-level conjunction: docs where every slot is covered
+        flat = self._term_docs(uniq)
+        aggs = [
+            F.max(F.when(F.col("term").isin(s), 1).otherwise(0)).alias(f"s{i}")
+            for i, s in enumerate(slots)
+        ]
+        covered = flat.groupBy("doc_id").agg(*aggs)
+        cond = F.lit(True)
+        for i in range(len(slots)):
+            cond = cond & (F.col(f"s{i}") == 1)
+        cand = covered.filter(cond).select("doc_id")
+        min_df = min(min(stats[t]["doc_freq"] for t in s) for s in slots)
         if min_df <= 1_000_000:
             cand = F.broadcast(cand)
         pos = self._positions(uniq).join(cand, "doc_id", "left_semi").persist()
-        chain = pos.filter(F.col("term") == terms[0]).select(
-            "doc_id", F.col("pos").alias("p0"), "dlq"
+        chain = (
+            pos.filter(F.col("term").isin(slots[0]))
+            .select("doc_id", F.col("pos").alias("p0"), "dlq")
+            .distinct()
         )
-        for i, t in enumerate(terms[1:], start=1):
-            nxt = pos.filter(F.col("term") == t).select(
-                "doc_id", (F.col("pos") - i).alias("p0")
-            )
+        for i, s in enumerate(slots[1:], start=1):
+            nxt = pos.filter(F.col("term").isin(s))
+            if slop == 0:
+                nxt = nxt.select("doc_id", (F.col("pos") - i).alias("p0"))
+            else:
+                # each position votes for every anchor within the slop
+                # window — turns the |p_i - p0 - i| <= slop band join into
+                # a plain equi-join (slop is small; 2*slop+1 rows each)
+                nxt = nxt.select(
+                    "doc_id",
+                    F.explode(
+                        F.sequence(F.col("pos") - i - slop, F.col("pos") - i + slop)
+                    ).alias("p0"),
+                )
             chain = chain.join(nxt, ["doc_id", "p0"], "left_semi")
         freq = chain.groupBy("doc_id").agg(
             F.count("*").alias("freq"), F.max("dlq").alias("dlq")
@@ -298,14 +351,15 @@ class IndexSearcher:
         return freq
 
     def _phrase_df(self, query: dict, k: int, search_after) -> DataFrame:
-        """PhraseQuery (clt/search/mod.rs:101 [stub]; Lucene semantics):
-        tf = phrase_freq; idf = float32 sum of per-term idfs in
-        ascending-term order."""
+        """PhraseQuery / MultiPhraseQuery (clt/search/mod.rs:101,93 [stub];
+        Lucene semantics): tf = phrase_freq; idf = float32 sum of per-term
+        idfs in ascending-term order over the distinct terms."""
         freq = self._phrase_freq(query)
         if freq is None:
             return self._empty_result()
-        uniq = sorted(set(query["terms"]))
+        uniq = sorted({t for s in self._phrase_slots(query) for t in s})
         stats = self.term_stats(uniq)
+        uniq = [t for t in uniq if t in stats]
         idf_q = np.float32(0.0)
         for t in uniq:
             idf_q = np.float32(idf_q + np.float32(stats[t]["idf"]))
@@ -343,6 +397,43 @@ class IndexSearcher:
 
         return blocks.mapInPandas(decode, schema="doc_id long").distinct()
 
+    def term_postings(self, term: str) -> DataFrame:
+        """(doc_id, tf, dlq) for one term — the PostingsEnum surface
+        (clt/index/postings_enum.rs:4-6, flags=Freqs): decoded straight
+        from the FOR blocks + stored norm bytes, no scoring. Deleted docs
+        excluded (live-docs view)."""
+        return self._postings_freqs([term])
+
+    def _postings_freqs(self, terms: list[str]) -> DataFrame:
+        """(doc_id, tf, dlq) rows for a term set (union of postings)."""
+        blocks = self.postings.filter(F.col("term").isin(list(terms))).select(
+            "n", "first_doc", "docs_bin", "tfs_bin", "dlq_bin"
+        )
+
+        def decode(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                doc_parts, tf_parts, dlq_parts = [], [], []
+                for n, fd, db, tb, qb in zip(
+                    pdf["n"], pdf["first_doc"], pdf["docs_bin"], pdf["tfs_bin"], pdf["dlq_bin"]
+                ):
+                    n = int(n)
+                    docs = np.int64(fd) + np.cumsum(K.for_unpack(bytes(db), n)).astype(np.int64)
+                    doc_parts.append(docs)
+                    tf_parts.append(K.for_unpack(bytes(tb), n).astype(np.int32))
+                    dlq_parts.append(np.frombuffer(bytes(qb), dtype=np.uint8).astype(np.int32))
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(doc_parts),
+                        "tf": np.concatenate(tf_parts),
+                        "dlq": np.concatenate(dlq_parts),
+                    }
+                )
+
+        out = blocks.mapInPandas(decode, schema="doc_id long, tf int, dlq int")
+        return self._drop_deleted(out)
+
     def _term_docs(self, terms: list[str]) -> DataFrame:
         """(doc_id, term) rows — one per posting, no scores, no norms.
         The cheap iterator used by count() and conjunction planning."""
@@ -370,9 +461,13 @@ class IndexSearcher:
 
     def matching_docs_df(self, query: dict) -> DataFrame:
         """The matching doc set (doc_id only) for any v1 query — NO scoring,
-        NO top-k sort. TotalHitCountCollector (clt/search/mod.rs:161) and
-        ConstantScore wrappers are count/filter-shaped; ranking the world
-        just to count it is a global-sort anti-pattern at scale."""
+        NO top-k sort, deletes excluded. TotalHitCountCollector
+        (clt/search/mod.rs:161) and ConstantScore wrappers are count/
+        filter-shaped; ranking the world just to count it is a global-sort
+        anti-pattern at scale."""
+        return self._drop_deleted(self._match_docs_inner(query))
+
+    def _match_docs_inner(self, query: dict) -> DataFrame:
         qt = query.get("type")
         if qt == "match_all":
             return self.docmap.select("doc_id")
@@ -386,7 +481,9 @@ class IndexSearcher:
         if qt == "dismax":
             terms = sorted({c["term"] for c in query["queries"]})
             return self._matching_docs(terms)
-        if qt == "phrase":
+        if qt == "synonym":
+            return self._matching_docs(sorted(set(query["terms"])))
+        if qt in ("phrase", "multi_phrase"):
             freq = self._phrase_freq(query)
             return freq.select("doc_id") if freq is not None else self._empty_docs()
 
@@ -542,7 +639,9 @@ class IndexSearcher:
             query = bool_query(should=terms)
         if qt == "dismax":
             return self._dismax_df(query, k, search_after)
-        if qt == "phrase":
+        if qt == "synonym":
+            return self._synonym_df(query, k, search_after)
+        if qt in ("phrase", "multi_phrase"):
             return self._phrase_df(query, k, search_after)
 
         must, should, must_not, msm = query_terms(query)
@@ -629,15 +728,9 @@ class IndexSearcher:
                 "doc_id", _f32_fold(F.col("parts")).alias("score")
             )
 
-        if search_after is not None:
-            s_a, d_a = float(np.float32(search_after[0])), int(search_after[1])
-            hits = hits.filter(
-                (F.col("score") < F.lit(s_a))
-                | ((F.col("score") == F.lit(s_a)) & (F.col("doc_id") > F.lit(d_a)))
-            )
-        return hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        return self._finish(hits, k, search_after)
 
-    def search(self, query: dict, k: int = 10, search_after: tuple | None = None, prune: bool = False):
+    def search(self, query: dict, k: int = 10, search_after: tuple | None = None, prune: bool | None = None):
         """Top-k as [(doc_id, score_f32)] — TopDocs analog."""
         rows = self.search_df(query, k, search_after, prune).collect()
         return [(int(r["doc_id"]), float(np.float32(r["score"]))) for r in rows]
@@ -662,7 +755,19 @@ class IndexSearcher:
         """Join top-k back to the doc map — the stored-fields fetch."""
         return hits_df.join(self.docmap, "doc_id", "inner")
 
+    def _drop_deleted(self, df: DataFrame) -> DataFrame:
+        """Live-docs filter (anti-join with tombstones) — Lucene semantics:
+        deleted docs vanish from results/counts but collection stats (idf,
+        avgdl) keep pre-delete values until a merge reclaims them."""
+        if self.tombstones is None:
+            return df
+        t = self.tombstones
+        if self._tomb_count <= 2_000_000:
+            t = F.broadcast(t)
+        return df.join(t, "doc_id", "left_anti")
+
     def _finish(self, hits: DataFrame, k: int, search_after: tuple | None) -> DataFrame:
+        hits = self._drop_deleted(hits)
         if search_after is not None:
             s_a, d_a = float(np.float32(search_after[0])), int(search_after[1])
             hits = hits.filter(
@@ -670,6 +775,40 @@ class IndexSearcher:
                 | ((F.col("score") == F.lit(s_a)) & (F.col("doc_id") > F.lit(d_a)))
             )
         return hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def _synonym_df(self, query: dict, k: int, search_after) -> DataFrame:
+        """SynonymQuery (clt/search/mod.rs:145 [stub]; Lucene 9 semantics):
+        all terms scored as ONE pseudo-term with BLENDED statistics —
+        doc_freq = max over the terms (not sum: synonyms co-occur), freq =
+        sum of the doc's freqs across terms. Dismax is not a substitute:
+        it scores each synonym with its own (often tiny) df."""
+        terms = sorted(set(query["terms"]))
+        stats = self.term_stats(terms)
+        terms = [t for t in terms if t in stats]
+        if not terms:
+            return self._empty_result()
+        df_blend = max(stats[t]["doc_freq"] for t in terms)
+        idf = np.float32(self.sim.idf(df_blend))
+        freqs = (
+            self._postings_freqs(terms)
+            .groupBy("doc_id")
+            .agg(F.sum("tf").cast("long").alias("freq"), F.max("dlq").alias("dlq"))
+        )
+        sim = self.sim
+
+        def score_kernel(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                sc = sim.score(
+                    pdf["freq"].to_numpy(np.int64),
+                    pdf["dlq"].to_numpy(np.int64),
+                    np.full(len(pdf), idf, dtype=np.float32),
+                )
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "score": sc})
+
+        hits = freqs.mapInPandas(score_kernel, schema="doc_id long, score float")
+        return self._finish(hits, k, search_after)
 
     def _dismax_df(self, query: dict, k: int, search_after) -> DataFrame:
         """DisjunctionMaxQuery (clt/search/mod.rs:32-33): max over per-term

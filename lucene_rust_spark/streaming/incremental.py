@@ -37,8 +37,6 @@ def append_batch(
     m = read_manifest(index_dir)
     if m is None:
         raise FileNotFoundError(f"append requires an existing index at {index_dir}")
-    if m.get("postings_dir", "postings") != "postings":
-        raise NotImplementedError("append after merge compaction is v2 (group dirs diverge)")
     if num_partitions > EPOCH_PART_STRIDE:
         raise ValueError(f"num_partitions > {EPOCH_PART_STRIDE}")
     offset = (epoch + 1) * EPOCH_PART_STRIDE
@@ -49,7 +47,11 @@ def append_batch(
     )
     width = spark.sparkContext.defaultParallelism
     g = 1_000_000 + epoch  # group namespace for streaming appends
-    gs = _build_group(docs, index_dir, g, 1, width)
+    gs = _build_group(
+        docs, index_dir, g, 1, width,
+        positions=bool(m.get("positions")),
+        postings_dirname=m.get("postings_dir", "postings"),
+    )
 
     # drop a possibly-stale record of this epoch (idempotent replay)
     segments = [s for s in m["segments"] if s.get("group") != g] + gs["segments"]
@@ -69,19 +71,30 @@ def append_batch(
     manifest["content_sha256_xor"] = format(xor & 0xFFFFFFFFFFFFFFFF, "016x")
 
     # refresh the global terms dict (df/ttf changed); write to a new
-    # generation dir so readers of the old one are unaffected
+    # generation dir so readers of the old one are unaffected. Merge the
+    # per-group terms partials (vocab-sized) when available — df/ttf are
+    # merge-invariant, so partials stay valid across segment compactions.
     terms_dir = f"terms_g{manifest['generation']}"
-    postings = spark.read.parquet(
-        os.path.join(index_dir, m.get("postings_dir", "postings"))
-    )
-    (
-        postings.groupBy("term")
-        .agg(
+    import glob as _glob
+
+    partial_dirs = sorted(_glob.glob(os.path.join(index_dir, "terms_partial", "group=*")))
+    if partial_dirs:
+        agg = spark.read.parquet(*partial_dirs).groupBy("term").agg(
+            F.sum("doc_freq").cast("long").alias("doc_freq"),
+            F.sum("total_term_freq").cast("long").alias("total_term_freq"),
+            F.sum("n_blocks").cast("long").alias("n_blocks"),
+        )
+    else:
+        postings = spark.read.parquet(
+            os.path.join(index_dir, m.get("postings_dir", "postings"))
+        )
+        agg = postings.groupBy("term").agg(
             F.sum("n").cast("long").alias("doc_freq"),
             F.sum("sum_tf").cast("long").alias("total_term_freq"),
             F.count("*").cast("long").alias("n_blocks"),
         )
-        .repartitionByRange(max(1, width // 8), "term")
+    (
+        agg.repartitionByRange(max(1, width // 8), "term")
         .sortWithinPartitions("term")
         .write.mode("overwrite")
         .parquet(os.path.join(index_dir, terms_dir))

@@ -120,3 +120,36 @@ def test_checkpoint_resume(spark, tmp_path):
     for key in ["doc_count", "sum_total_term_freq", "segments", "content_sha256_xor"]:
         assert resumed[key] == full[key], key
     assert read_manifest(out)["doc_count"] == 400
+
+
+def test_global_term_ordinals(spark, t1_index):
+    """OrdinalMap analog (clt/index/ordinal_map.rs): ordinal == rank of the
+    term in the globally sorted dictionary, dense 0..n-1."""
+    out, _ = t1_index
+    import os
+
+    t = spark.read.parquet(os.path.join(out, "terms")).select("term", "ordinal").toPandas()
+    t = t.sort_values("term").reset_index(drop=True)
+    assert (t["ordinal"].to_numpy() == np.arange(len(t))).all()
+
+
+def test_block_impacts_frontier():
+    """Competitive impacts: pareto frontier of (tf, dlq) pairs — every
+    stored pair dominates some posting, and every posting is dominated."""
+    from lucene_rust_spark.index.build import block_impacts
+
+    rng = np.random.default_rng(7)
+    tfs = rng.integers(1, 30, 128)
+    dlqs = rng.integers(0, 255, 128)
+    imp_tf, imp_dlq = block_impacts(tfs, dlqs)
+    # frontier pairs are actual postings
+    pairs = set(zip(tfs.tolist(), dlqs.tolist()))
+    assert all((t, q) in pairs for t, q in zip(imp_tf, imp_dlq))
+    # no frontier pair dominated by another frontier pair
+    for i in range(len(imp_tf)):
+        for j in range(len(imp_tf)):
+            if i != j:
+                assert not (imp_tf[j] >= imp_tf[i] and imp_dlq[j] <= imp_dlq[i])
+    # every posting dominated by some frontier pair
+    for t, q in pairs:
+        assert any(ft >= t and fq <= q for ft, fq in zip(imp_tf, imp_dlq))

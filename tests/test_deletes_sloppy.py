@@ -1,0 +1,283 @@
+"""Deletes (tombstone live-docs), sloppy/multi phrase, positional merge,
+and append-after-merge — round-2 feature coverage."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import T1_PARTS
+
+
+# --- deletes ----------------------------------------------------------------
+
+
+def test_ephemeral_tombstones_rank_identity(spark, t1_index, searcher, oracle_idx):
+    """Engine with a live-docs view == oracle results minus deleted docs
+    (Lucene semantics: stats keep pre-delete values, results filtered)."""
+    from lucene_rust_spark.oracle.bm25 import bool_query, oracle_search
+    from lucene_rust_spark.search.searcher import IndexSearcher
+
+    out, _ = t1_index
+    q = bool_query(should=["merge", "window"])
+    full = oracle_search(oracle_idx, q, k=200)
+    deleted = {d for d, _ in full[::3]}  # delete every 3rd hit
+    tomb = spark.createDataFrame([(int(d),) for d in deleted], "doc_id long")
+    s2 = IndexSearcher(spark, out, tombstones=tomb)
+
+    expect = [(d, s) for d, s in full if d not in deleted][:10]
+    got = s2.search(q, k=10)
+    assert [d for d, _ in got] == [d for d, _ in expect]
+    assert all(np.float32(a) == np.float32(b) for (_, a), (_, b) in zip(got, expect))
+    # counts exclude deleted docs
+    n_full = searcher.count(q)
+    assert s2.count(q) == n_full - len(deleted)
+
+
+def test_persistent_deletes_and_checkindex(spark, tmp_path):
+    from lucene_rust_spark.corpus import gen_corpus_spark
+    from lucene_rust_spark.index.build import build_index
+    from lucene_rust_spark.index.deletes import check_deletes, delete_by_term
+    from lucene_rust_spark.search.searcher import IndexSearcher
+
+    out = str(tmp_path / "idx")
+    build_index(spark, gen_corpus_spark(spark, 300, 4), out, num_partitions=4)
+    s0 = IndexSearcher(spark, out)
+    n_before = s0.count({"type": "term", "term": "merge"})
+    assert n_before > 0
+
+    m = delete_by_term(spark, out, "merge")
+    assert m["del_count"] == n_before
+    info = check_deletes(spark, out)
+    assert info["del_count"] == n_before
+    s1 = IndexSearcher(spark, out)
+    assert s1.count({"type": "term", "term": "merge"}) == 0
+    # docs without the deleted term are unaffected
+    assert s1.count({"type": "match_all"}) == 300 - n_before
+    # stats keep pre-delete values (Lucene: idf unchanged until merge)
+    assert s1.term_stats(["merge"])["merge"]["doc_freq"] == n_before
+
+
+# --- sloppy phrase / MultiPhrase ---------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pos_searcher(spark, tmp_path_factory):
+    from lucene_rust_spark.corpus import gen_corpus_spark
+    from lucene_rust_spark.index.build import build_index
+    from lucene_rust_spark.search.searcher import IndexSearcher
+
+    out = str(tmp_path_factory.mktemp("posidx") / "t1p")
+    build_index(
+        spark, gen_corpus_spark(spark, 500, 4), out, num_partitions=4, positions=True
+    )
+    return IndexSearcher(spark, out, cache=True)
+
+
+@pytest.fixture(scope="module")
+def pos_oracle():
+    from lucene_rust_spark.corpus import gen_corpus_pandas
+    from lucene_rust_spark.oracle.bm25 import build_oracle_index
+
+    return build_oracle_index(gen_corpus_pandas(500), 4)
+
+
+def _common_bigram(oracle_idx):
+    """Pick a bigram that actually occurs: scan oracle contents."""
+    from lucene_rust_spark.functions.analysis import tokenize
+
+    best = None
+    from collections import Counter
+
+    c = Counter()
+    for text in oracle_idx.contents[:200]:
+        toks = tokenize(text)
+        c.update(zip(toks, toks[1:]))
+    (a, b), _n = c.most_common(1)[0]
+    return [a, b]
+
+
+@pytest.mark.parametrize("slop", [0, 1, 2])
+def test_sloppy_phrase_rank_identity(pos_searcher, pos_oracle, slop):
+    from lucene_rust_spark.oracle.bm25 import oracle_search, phrase_query
+
+    q = phrase_query(_common_bigram(pos_oracle), slop=slop)
+    got = pos_searcher.search(q, k=20)
+    want = oracle_search(pos_oracle, q, k=20)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    assert all(np.float32(a) == np.float32(b) for (_, a), (_, b) in zip(got, want))
+    # slop widens (or keeps) the match set
+    assert pos_searcher.count(q) >= pos_searcher.count(phrase_query(q["terms"], 0))
+
+
+def test_multi_phrase_rank_identity(pos_searcher, pos_oracle):
+    from lucene_rust_spark.oracle.bm25 import multi_phrase_query, oracle_search
+
+    a, b = _common_bigram(pos_oracle)
+    q = multi_phrase_query([[a, "window"], [b]], slop=0)
+    got = pos_searcher.search(q, k=20)
+    want = oracle_search(pos_oracle, q, k=20)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    # supersets the single-alternative phrase
+    from lucene_rust_spark.oracle.bm25 import phrase_query
+
+    assert pos_searcher.count(q) >= pos_searcher.count(phrase_query([a, b]))
+
+
+# --- positional merge ---------------------------------------------------------
+
+
+def test_positional_merge_preserves_phrases(spark, pos_searcher, pos_oracle):
+    from lucene_rust_spark.index.merge import merge_segments
+    from lucene_rust_spark.oracle.bm25 import phrase_query
+    from lucene_rust_spark.search.searcher import IndexSearcher
+
+    q = phrase_query(_common_bigram(pos_oracle), slop=1)
+    before = pos_searcher.search(q, k=20)
+    n_before = pos_searcher.count(q)
+    merge_segments(spark, pos_searcher.index_dir, fan_in=4)
+    merged = IndexSearcher(spark, pos_searcher.index_dir)
+    assert merged.search(q, k=20) == before
+    assert merged.count(q) == n_before
+
+
+# --- append after merge --------------------------------------------------------
+
+
+def test_append_after_merge(spark, tmp_path):
+    from lucene_rust_spark.corpus import gen_corpus_spark
+    from lucene_rust_spark.index.manifest import read_manifest
+    from lucene_rust_spark.index.merge import merge_segments
+    from lucene_rust_spark.search.searcher import IndexSearcher
+    from lucene_rust_spark.streaming.incremental import append_batch
+    from lucene_rust_spark.index.build import build_index
+
+    out = str(tmp_path / "idx")
+    src = gen_corpus_spark(spark, 300, 4).persist()
+    b0 = src.filter(F.crc32(F.col("path")) % 3 != 0)
+    b1 = src.filter(F.crc32(F.col("path")) % 3 == 0)
+    build_index(spark, b0, out, num_partitions=4)
+    merge_segments(spark, out, fan_in=2)
+    m = append_batch(spark, b1, out, epoch=0, num_partitions=4)
+    assert m["doc_count"] == 300
+    s = IndexSearcher(spark, out)
+    # engine count over merged+appended == full-corpus recompute
+    toks = src.select(
+        F.filter(F.split(F.lower("content"), r"(?U)\W+"), lambda x: x != "").alias("t")
+    )
+    for term in ["merge", "window", "value"]:
+        want = toks.filter(F.array_contains("t", term)).count()
+        assert s.count({"type": "term", "term": term}) == want, term
+    assert read_manifest(out)["postings_dir"].startswith("postings_g")
+    src.unpersist()
+
+
+# --- synonym (blended stats) ---------------------------------------------------
+
+
+def test_synonym_blended_rank_identity(searcher, oracle_idx):
+    from lucene_rust_spark.oracle.bm25 import oracle_search, synonym_query
+
+    q = synonym_query(["merge", "window"])
+    got = searcher.search(q, k=20)
+    want = oracle_search(oracle_idx, q, k=20)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    assert all(np.float32(a) == np.float32(b) for (_, a), (_, b) in zip(got, want))
+    # blended df differs from dismax/bool scoring: count matches OR count
+    from lucene_rust_spark.oracle.bm25 import bool_query
+
+    assert searcher.count(q) == searcher.count(bool_query(should=["merge", "window"]))
+
+
+# --- StopFilter / CharFilter options -------------------------------------------
+
+
+def test_stopword_charfilter_analyzer(spark, tmp_path):
+    from lucene_rust_spark.corpus import gen_corpus_pandas, gen_corpus_spark
+    from lucene_rust_spark.functions.analysis import ENGLISH_STOP_WORDS
+    from lucene_rust_spark.index.build import build_index
+    from lucene_rust_spark.oracle.bm25 import (
+        bool_query,
+        build_oracle_index,
+        oracle_search,
+    )
+    from lucene_rust_spark.search.searcher import IndexSearcher
+
+    sw = ENGLISH_STOP_WORDS
+    cf = [("[0-9]+", " ")]  # strip digits (CharFilter chain)
+    out = str(tmp_path / "idx")
+    build_index(
+        spark, gen_corpus_spark(spark, 300, 4), out, num_partitions=4,
+        stop_words=sw, char_filters=cf,
+    )
+    s = IndexSearcher(spark, out, cache=True)
+    oidx = build_oracle_index(gen_corpus_pandas(300), 4, stop_words=sw, char_filters=cf)
+    # stopwords and digit runs never reach the index
+    assert s.term_stats(["the", "a"]) == {}
+    assert s.count({"type": "regexp", "pattern": "[0-9]+"}) == 0
+    q = bool_query(should=["merge", "window"])
+    got = s.search(q, k=15)
+    want = oracle_search(oidx, q, k=15)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    assert all(np.float32(a) == np.float32(b) for (_, a), (_, b) in zip(got, want))
+
+
+# --- multi-field indexing --------------------------------------------------------
+
+
+def test_multi_field_index(spark, tmp_path):
+    from lucene_rust_spark.corpus import gen_corpus_pandas, gen_corpus_spark
+    from lucene_rust_spark.oracle.bm25 import build_oracle_index, oracle_search
+    from lucene_rust_spark.search.multifield import (
+        MultiFieldSearcher,
+        build_multi_field_index,
+        oracle_cross_field,
+    )
+
+    out = str(tmp_path / "mf")
+    src = gen_corpus_spark(spark, 300, 4)
+    build_multi_field_index(spark, src, out, fields=("content", "path", "lang"),
+                            num_partitions=4)
+    ms = MultiFieldSearcher(spark, out, cache=True)
+
+    pdf = gen_corpus_pandas(300)
+    oracles = {}
+    for f in ("content", "path", "lang"):
+        odf = pdf[["repo", "path", "commit", "lang"]].copy()
+        odf["content"] = pdf[f].astype(str)
+        oracles[f] = build_oracle_index(odf, 4)
+    # doc_id spaces identical across fields (same key sort)
+    assert (oracles["content"].doc_ids == oracles["path"].doc_ids).all()
+
+    # single-field routing: rank identity per field
+    lang_term = pdf["lang"].iloc[0]
+    q_lang = {"type": "term", "field": "lang", "term": lang_term}
+    got = ms.search(q_lang, k=10)
+    want = oracle_search(oracles["lang"], {"type": "term", "term": lang_term}, k=10)
+    assert got == [(d, float(np.float32(s))) for d, s in want]
+    assert ms.count(q_lang) == int((pdf["lang"] == lang_term).sum())
+
+    # cross-field boolean: content term AND lang term, scores combined in
+    # pinned field:term order
+    q = {
+        "type": "bool",
+        "must": [
+            {"type": "term", "field": "content", "term": "merge"},
+            {"type": "term", "field": "lang", "term": lang_term},
+        ],
+        "should": [],
+        "must_not": [],
+    }
+    got = ms.search(q, k=15)
+    want = oracle_cross_field(oracles, q, k=15)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    assert all(np.float32(a) == np.float32(b) for (_, a), (_, b) in zip(got, want))
+    # cross-field MUST_NOT
+    q2 = {
+        "type": "bool",
+        "must": [{"type": "term", "field": "content", "term": "merge"}],
+        "should": [],
+        "must_not": [{"type": "term", "field": "lang", "term": lang_term}],
+    }
+    assert ms.count(q2) == ms.count({"type": "term", "term": "merge"}) - ms.count(q)
