@@ -397,6 +397,66 @@ WHERE inter / (sa.sz + sb.sz - inter) >= 0.5
 """
 
 
+def dedup_simhash(spark, sf_dir):
+    """64-bit SimHash signatures (tf-weighted md5 token hashes) — the
+    Arrow-kernel operator (operators/dedup.simhash) vs an exact SQL
+    re-derivation (per-bit weighted votes)."""
+    from lucene_rust_spark.operators.dedup import simhash
+
+    d = _docs(spark, sf_dir).select(F.col("doc_id").alias("id"), "text")
+    return simhash(d).select(F.col("id").alias("doc_id"), "sig")
+
+
+SQL_DEDUP_SIMHASH = f"""
+WITH tk AS ({_SQL_TOKS}),
+fl AS ({_SQL_FLAT}),
+h AS (SELECT doc_id, tf, ('0x' || substr(md5(term), 1, 15))::BIGINT AS th FROM fl),
+bits AS (
+  SELECT doc_id, b, sum(CASE WHEN (th >> b) & 1 = 1 THEN tf ELSE -tf END) AS sv
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)
+  GROUP BY doc_id, b
+),
+sigs AS (
+  SELECT doc_id, sum(CASE WHEN sv > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sig
+  FROM bits GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(s.sig, 0)::BIGINT AS sig
+FROM documents d LEFT JOIN sigs s ON d.doc_id = s.doc_id
+"""
+
+
+def dedup_simhash_pairs(spark, sf_dir):
+    """Hamming<=3 SimHash candidate pairs via the band-rotation equi-joins
+    (pigeonhole-complete for max_hamming < bands) — vs the exact all-pairs
+    bit_count oracle."""
+    from lucene_rust_spark.operators.dedup import simhash_pairs
+
+    d = _docs(spark, sf_dir).select(F.col("doc_id").alias("id"), "text")
+    return simhash_pairs(d, max_hamming=3, bands=4).select(
+        "a", "b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+SQL_DEDUP_SIMHASH_PAIRS = f"""
+WITH tk AS ({_SQL_TOKS}),
+fl AS ({_SQL_FLAT}),
+h AS (SELECT doc_id, tf, ('0x' || substr(md5(term), 1, 15))::BIGINT AS th FROM fl),
+bits AS (
+  SELECT doc_id, b, sum(CASE WHEN (th >> b) & 1 = 1 THEN tf ELSE -tf END) AS sv
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)
+  GROUP BY doc_id, b
+),
+sigs AS (
+  SELECT doc_id, sum(CASE WHEN sv > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sig
+  FROM bits GROUP BY doc_id
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       bit_count(xor(x.sig, y.sig))::BIGINT AS hamming
+FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.sig, y.sig)) <= 3
+"""
+
+
 _N_MINHASH = 4
 
 
@@ -660,6 +720,8 @@ GATE: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_minhash": (dedup_minhash, SQL_DEDUP_MINHASH),
+    "dedup_simhash": (dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_simhash_pairs": (dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
     "dedup_minhash_pairs": (dedup_minhash_pairs, SQL_DEDUP_MINHASH_PAIRS),
     "text_token_stats": (text_token_stats, SQL_TEXT_TOKEN_STATS),
     "text_quality": (text_quality, SQL_TEXT_QUALITY),

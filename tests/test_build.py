@@ -153,3 +153,25 @@ def test_block_impacts_frontier():
     # every posting dominated by some frontier pair
     for t, q in pairs:
         assert any(ft >= t and fq <= q for ft, fq in zip(imp_tf, imp_dlq))
+
+
+def test_jvm_analyzer_build_matches_dwpt(spark, tmp_path):
+    """analyzer='jvm' (pure whole-stage-codegen tokenize + explode/groupBy)
+    must produce an index with identical stats and identical top-k results
+    to the dwpt kernel path on an ASCII corpus."""
+    from lucene_rust_spark.corpus import gen_corpus_spark
+    from lucene_rust_spark.index.build import build_index
+    from lucene_rust_spark.oracle.bm25 import bool_query
+    from lucene_rust_spark.search.searcher import IndexSearcher
+
+    src = gen_corpus_spark(spark, 300, 4)
+    m_d = build_index(spark, src, str(tmp_path / "dwpt"), num_partitions=4)
+    m_j = build_index(spark, src, str(tmp_path / "jvm"), num_partitions=4, analyzer="jvm")
+    for key in ["doc_count", "sum_total_term_freq", "content_sha256_xor"]:
+        assert m_j[key] == m_d[key], key
+    sd = IndexSearcher(spark, str(tmp_path / "dwpt"))
+    sj = IndexSearcher(spark, str(tmp_path / "jvm"))
+    for q in [{"type": "term", "term": "merge"}, bool_query(should=["merge", "window"]),
+              bool_query(must=["value", "merge"])]:
+        assert sj.search(q, 10) == sd.search(q, 10)
+        assert sj.count(q) == sd.count(q)
