@@ -78,20 +78,6 @@ def assign_doc_ids(df_with_part: DataFrame) -> DataFrame:
 
 # --- tokenize + per-doc term counts (TermsHash analog) ----------------------
 
-_NORMS_SCHEMA = T.StructType(
-    [T.StructField("dl", T.IntegerType()), T.StructField("dlq", T.IntegerType())]
-)
-
-
-@F.pandas_udf(_NORMS_SCHEMA)
-def norms_udf(content: pd.Series) -> pd.DataFrame:
-    """Arrow-batched: content → (token count, SmallFloat-quantized norm)."""
-    toks = tokenize_series(content)
-    dl = toks.map(len).astype("int32")
-    dlq = pd.Series(K.int_to_byte4(dl.to_numpy()).astype("int32"), index=content.index)
-    return pd.DataFrame({"dl": dl, "dlq": dlq})
-
-
 _FLAT_SCHEMA = "doc_id long, seg int, dl int, dlq int, term string, tf int"
 
 
@@ -576,11 +562,20 @@ def build_index(
     # from num_partitions (the logical segment count) so CPU-bound kernel
     # stages always use every core regardless of AQE coalescing
     width = shuffle_width or spark.sparkContext.defaultParallelism
-    stage_corpus(spark, source, out_dir, num_partitions, num_groups, resume=resume)
+    if num_groups > 1:
+        # staging pays for itself by making every group job read only its
+        # 1/G slice; with a single group it would be a pure extra
+        # write+read of the corpus, so the group job scans source directly
+        stage_corpus(spark, source, out_dir, num_partitions, num_groups, resume=resume)
+        src_for_groups = None
+    else:
+        src_for_groups = (
+            spark.read.parquet(source) if isinstance(source, str) else source
+        )
     group_stats = []
     for g in range(num_groups):
         gs = build_group_job(
-            spark, None, out_dir, g, num_groups, num_partitions,
+            spark, src_for_groups, out_dir, g, num_groups, num_partitions,
             width=width, analyzer=analyzer, positions=positions, resume=resume,
             stop_words=stop_words, char_filters=char_filters,
         )

@@ -34,7 +34,6 @@ from lucene_rust_spark.index.manifest import read_manifest
 from lucene_rust_spark.oracle.bm25 import query_terms
 from lucene_rust_spark.search.rewrite import (
     CONSTANT_SCORE_TYPES,
-    MULTI_TERM_TYPES,
     match_candidates,
     match_terms,
 )
