@@ -133,10 +133,62 @@ def for_pack(values: np.ndarray) -> bytes:
     return bytes([bw]) + packed.tobytes()
 
 
+_PFOR_MARKER = 255  # legit FOR bitwidths are 0..64, so 255 is free
+
+
+def pfor_pack(values: np.ndarray, max_exceptions: int = 3) -> bytes:
+    """PFor exception patching (reference surface
+    clt/codecs/lucene90/mod.rs:26 p_for_util [stub]; Lucene 9 public
+    semantics: pack at a lower bit width and store up to 3 outliers
+    separately). Layout: [255][bw_low][n_exc][(pos u8, value u64-BE) x
+    n_exc][payload at bw_low, exception slots masked]. Falls back to plain
+    FOR when patching saves no bytes — the output is self-describing
+    either way, so for_unpack decodes both transparently."""
+    v = values.astype(np.uint64)
+    n = len(v)
+    if n == 0:
+        return for_pack(v)
+    plain = for_pack(v)
+    best = plain
+    order = np.argsort(v)[::-1]  # biggest values = exception candidates
+    for n_exc in range(1, min(max_exceptions, n - 1) + 1):
+        exc_pos = np.sort(order[:n_exc])
+        rest_max = int(v[order[n_exc]]) if n_exc < n else 0
+        bw_low = rest_max.bit_length()
+        if bw_low:
+            masked = v.copy()
+            masked[exc_pos] &= (np.uint64(1) << np.uint64(bw_low)) - np.uint64(1)
+            payload = for_pack(masked)[1:]
+        else:
+            payload = b""
+        out = bytes([_PFOR_MARKER, bw_low, n_exc])
+        for p in exc_pos:
+            out += bytes([int(p)]) + int(v[p]).to_bytes(8, "big")
+        out += payload
+        if len(out) < len(best):
+            best = out
+    return best
+
+
 def for_unpack(buf: bytes, count: int) -> np.ndarray:
     if count == 0:
         return np.zeros(0, dtype=np.uint64)
     bw = buf[0]
+    if bw == _PFOR_MARKER:
+        bw_low, n_exc = buf[1], buf[2]
+        pos = np.empty(n_exc, dtype=np.int64)
+        val = np.empty(n_exc, dtype=np.uint64)
+        off = 3
+        for i in range(n_exc):
+            pos[i] = buf[off]
+            val[i] = int.from_bytes(buf[off + 1 : off + 9], "big")
+            off += 9
+        if bw_low == 0:
+            out = np.zeros(count, dtype=np.uint64)
+        else:
+            out = for_unpack(bytes([bw_low]) + buf[off:], count)
+        out[pos] = val
+        return out
     if bw == 0:
         return np.zeros(count, dtype=np.uint64)
     bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8, offset=1), count=count * bw)

@@ -195,7 +195,7 @@ def block_impacts(tfs: np.ndarray, dlqs: np.ndarray) -> tuple[list[int], list[in
 
 def _pack_runs(
     term_arr, seg_arr, docs, tfs, dlqs, term_values=None,
-    pos_flat=None, pos_offsets=None,
+    pos_flat=None, pos_offsets=None, pfor=False,
 ) -> pd.DataFrame | None:
     """Vectorized block packing for a (term, seg, doc_id)-sorted slice that
     contains only COMPLETE runs. Block boundaries + per-block stats are
@@ -226,8 +226,9 @@ def _pack_runs(
     deltas_u = deltas.astype(np.uint64)
     tfs_u = tfs.astype(np.uint64)
     dlq_u8 = dlqs.astype(np.uint8)
-    docs_bin = [K.for_pack(deltas_u[s:e]) for s, e in zip(bstarts, bends)]
-    tfs_bin = [K.for_pack(tfs_u[s:e]) for s, e in zip(bstarts, bends)]
+    pack = K.pfor_pack if pfor else K.for_pack
+    docs_bin = [pack(deltas_u[s:e]) for s, e in zip(bstarts, bends)]
+    tfs_bin = [pack(tfs_u[s:e]) for s, e in zip(bstarts, bends)]
     dlq_bin = [dlq_u8[s:e].tobytes() for s, e in zip(bstarts, bends)]
     impacts = [block_impacts(tfs[s:e], dlqs[s:e]) for s, e in zip(bstarts, bends)]
     if pos_flat is not None:
@@ -242,7 +243,7 @@ def _pack_runs(
             pdeltas[starts_of_postings] = pos_flat[starts_of_postings]
         pdeltas_u = pdeltas.astype(np.uint64)
         pos_bin = [
-            K.for_pack(pdeltas_u[pos_offsets[s] : pos_offsets[e]])
+            pack(pdeltas_u[pos_offsets[s] : pos_offsets[e]])
             for s, e in zip(bstarts, bends)
         ]
     else:
@@ -361,7 +362,7 @@ def _count_batch(
     )
 
 
-def _dwpt_partition(batches, positions: bool = False, stop_words=None, char_filters=None):
+def _dwpt_partition(batches, positions: bool = False, stop_words=None, char_filters=None, pfor=False):
     """mapInPandas kernel — the DocumentsWriterPerThread analog
     (clt/index/mod.rs:33): this task holds complete segments (docs are
     hash-routed by part), accumulates per-doc term counts across Arrow
@@ -415,6 +416,7 @@ def _dwpt_partition(batches, positions: bool = False, stop_words=None, char_filt
             ndl[order_n],
             ndlq[order_n],
             term_values=np.asarray([NORM_TERM], dtype=object),
+            pfor=pfor,
         )
         if out is not None and len(out):
             yield out
@@ -448,6 +450,7 @@ def _dwpt_partition(batches, positions: bool = False, stop_words=None, char_filt
     out = _pack_runs(
         codes[order], segs[order], docs[order], tfs[order], dlqs[order],
         term_values=vocab_arr, pos_flat=pos_flat, pos_offsets=pos_offsets,
+        pfor=pfor,
     )
     if out is not None and len(out):
         step = 65536
@@ -542,6 +545,7 @@ def build_index(
     cleanup_staged: bool = True,
     stop_words=None,
     char_filters=None,
+    codec: str = "for",
 ) -> dict:
     """Build the full index under out_dir. Returns the committed manifest.
 
@@ -577,7 +581,7 @@ def build_index(
         gs = build_group_job(
             spark, src_for_groups, out_dir, g, num_groups, num_partitions,
             width=width, analyzer=analyzer, positions=positions, resume=resume,
-            stop_words=stop_words, char_filters=char_filters,
+            stop_words=stop_words, char_filters=char_filters, codec=codec,
         )
         group_stats.append(gs)
 
@@ -642,6 +646,7 @@ def build_index(
         "positions": bool(positions),
         "stop_words": sorted(stop_words) if stop_words else None,
         "char_filters": [list(cf) for cf in char_filters] if char_filters else None,
+        "codec": codec,
         "doc_count": doc_count,
         "sum_total_term_freq": sum_ttf,
         "num_partitions": num_partitions,
@@ -679,6 +684,7 @@ def build_group_job(
     resume: bool = True,
     stop_words=None,
     char_filters=None,
+    codec: str = "for",
 ) -> dict:
     """Build exactly one checkpoint group and write its checkpoint — the
     unit of distributed work: independent group-builder processes (or a
@@ -711,7 +717,7 @@ def build_group_job(
             docs = docs.filter(F.col("part") % num_groups == g)
     gs = _build_group(
         docs, out_dir, g, num_groups, width, analyzer, positions,
-        stop_words=stop_words, char_filters=char_filters,
+        stop_words=stop_words, char_filters=char_filters, codec=codec,
     )
     with open(ck_path + ".tmp", "w") as f:
         json.dump(gs, f)
@@ -746,7 +752,7 @@ def _build_group(
     docs_with_part: DataFrame, out_dir: str, g: int, num_groups: int, width: int,
     analyzer: str = "dwpt", positions: bool = False,
     postings_dirname: str = "postings",
-    stop_words=None, char_filters=None,
+    stop_words=None, char_filters=None, codec: str = "for",
 ) -> dict:
     """Build one checkpoint group from its (pre-filtered) slice of the
     corpus. With the dwpt analyzer the slice's content is read EXACTLY
@@ -826,8 +832,10 @@ def _build_group(
         sw = frozenset(stop_words) if stop_words else None
         cf = tuple(tuple(c) for c in char_filters) if char_filters else None
 
-        def dwpt(batches, _p=positions, _sw=sw, _cf=cf):
-            return _dwpt_partition(batches, positions=_p, stop_words=_sw, char_filters=_cf)
+        def dwpt(batches, _p=positions, _sw=sw, _cf=cf, _pf=(codec == "pfor")):
+            return _dwpt_partition(
+                batches, positions=_p, stop_words=_sw, char_filters=_cf, pfor=_pf
+            )
 
         # persist before repartitionByRange: the range sampling pass would
         # otherwise re-run the whole DWPT kernel a second time

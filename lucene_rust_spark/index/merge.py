@@ -26,7 +26,7 @@ from lucene_rust_spark.index.build import _BLOCK_SCHEMA, _pack_runs
 from lucene_rust_spark.index.manifest import commit_manifest, read_manifest
 
 
-def _repack_partition(batches, positions: bool = False):
+def _repack_partition(batches, positions: bool = False, pfor: bool = False):
     """Input: block rows sorted by (term, mseg, seg, block_no) — every
     (term, mseg) run is a globally docID-sorted sequence of packed blocks
     from fan_in source segments. Decode, concatenate, re-pack. Streaming
@@ -86,8 +86,8 @@ def _repack_partition(batches, positions: bool = False):
         if positions:
             tfs = cols[3]
             offsets = np.concatenate(([0], np.cumsum(tfs)))
-            return _pack_runs(*cols[:5], pos_flat=cols[5], pos_offsets=offsets)
-        return _pack_runs(*cols)
+            return _pack_runs(*cols[:5], pos_flat=cols[5], pos_offsets=offsets, pfor=pfor)
+        return _pack_runs(*cols, pfor=pfor)
 
     for pdf in batches:
         cols = decode_rows(pdf)
@@ -131,8 +131,10 @@ def merge_segments(
     if positions:
         cols.append("pos_bin")
 
-    def repack(batches, _p=positions):
-        return _repack_partition(batches, positions=_p)
+    pfor = m.get("codec") == "pfor"
+
+    def repack(batches, _p=positions, _pf=pfor):
+        return _repack_partition(batches, positions=_p, pfor=_pf)
 
     merged = (
         keyed.repartitionByRange(width, "term")

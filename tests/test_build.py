@@ -175,3 +175,30 @@ def test_jvm_analyzer_build_matches_dwpt(spark, tmp_path):
               bool_query(must=["value", "merge"])]:
         assert sj.search(q, 10) == sd.search(q, 10)
         assert sj.count(q) == sd.count(q)
+
+
+def test_pfor_codec_build_rank_identity(spark, tmp_path, oracle_idx):
+    """codec='pfor' (exception-patched blocks) must be decode-transparent:
+    identical top-k and counts to the oracle, surviving a merge."""
+    from lucene_rust_spark.corpus import gen_corpus_spark
+    from lucene_rust_spark.index.build import build_index
+    from lucene_rust_spark.index.merge import merge_segments
+    from lucene_rust_spark.oracle.bm25 import bool_query, oracle_search
+    from lucene_rust_spark.search.searcher import IndexSearcher
+    from tests.conftest import T1_PARTS, T1_ROWS
+
+    out = str(tmp_path / "pfor")
+    build_index(spark, gen_corpus_spark(spark, T1_ROWS, T1_PARTS), out,
+                num_partitions=T1_PARTS, codec="pfor")
+    s = IndexSearcher(spark, out, cache=True)
+    qs = [{"type": "term", "term": "merge"}, bool_query(should=["merge", "window"]),
+          bool_query(must=["value", "merge"])]
+    for q in qs:
+        want = oracle_search(oracle_idx, q, 10)
+        got = s.search(q, 10)
+        assert [d for d, _ in got] == [d for d, _ in want]
+        assert all(np.float32(a) == np.float32(b) for (_, a), (_, b) in zip(got, want))
+    merge_segments(spark, out, fan_in=4)
+    s2 = IndexSearcher(spark, out)
+    for q in qs:
+        assert s2.search(q, 10) == s.search(q, 10)

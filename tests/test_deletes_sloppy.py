@@ -281,3 +281,25 @@ def test_multi_field_index(spark, tmp_path):
         "must_not": [{"type": "term", "field": "lang", "term": lang_term}],
     }
     assert ms.count(q2) == ms.count({"type": "term", "term": "merge"}) - ms.count(q)
+
+
+# --- plan shape: counts never sort ---------------------------------------------
+
+
+def test_count_plan_has_no_global_sort(searcher):
+    """TotalHitCount must not rank the world: the physical plan for the
+    matching-doc set contains no Sort / TakeOrdered operator (the round-1
+    engine sorted every hit to count them)."""
+    from lucene_rust_spark.oracle.bm25 import bool_query
+
+    for q in [
+        {"type": "term", "term": "merge"},
+        bool_query(must=["merge", "window"]),
+        bool_query(should=["merge", "window", "batch"], min_should_match=2),
+        bool_query(must=["merge"], must_not=["window"]),
+    ]:
+        plan = searcher.matching_docs_df(q)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrdered" not in plan, plan[:2000]
+        assert "Sort " not in plan.replace("SortAggregate", "").replace(
+            "SortMergeJoin", ""
+        ), plan[:2000]

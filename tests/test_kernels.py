@@ -182,3 +182,26 @@ def test_tokenize_series_nonascii_order_pinned():
     # the scalar path keeps 'İstanbul' a single token
     assert tokenize("İstanbul")[0] == "i̇stanbul"
     assert len(tokenize("İstanbul")) == 1
+
+
+def test_pfor_pack_roundtrip_and_savings():
+    """PFor exception patching: self-describing blobs decode through the
+    same for_unpack; outlier-laden blocks shrink vs plain FOR."""
+    rng = np.random.default_rng(11)
+    # typical posting deltas with up to 3 huge outliers
+    for n_out in (0, 1, 2, 3):
+        v = rng.integers(0, 14, 128).astype(np.uint64)
+        pos = rng.choice(128, size=n_out, replace=False)
+        v[pos] = rng.integers(1 << 30, 1 << 40, n_out)
+        plain = K.for_pack(v)
+        patched = K.pfor_pack(v)
+        assert (K.for_unpack(patched, 128) == v).all()
+        assert (K.for_unpack(plain, 128) == v).all()
+        if n_out:
+            assert len(patched) < len(plain), (n_out, len(patched), len(plain))
+        else:
+            assert patched == plain  # no outliers -> falls back to plain FOR
+    # degenerate shapes
+    for v in ([], [0], [7], [0, 1 << 50], list(range(128))):
+        a = np.array(v, dtype=np.uint64)
+        assert (K.for_unpack(K.pfor_pack(a), len(a)) == a).all()
