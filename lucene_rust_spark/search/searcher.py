@@ -308,21 +308,35 @@ class IndexSearcher:
         if any(not s for s in slots):
             return None
         uniq = sorted({t for s in slots for t in s})
-        # doc-level conjunction: docs where every slot is covered
-        flat = self._term_docs(uniq)
-        aggs = [
-            F.max(F.when(F.col("term").isin(s), 1).otherwise(0)).alias(f"s{i}")
-            for i, s in enumerate(slots)
-        ]
-        covered = flat.groupBy("doc_id").agg(*aggs)
-        cond = F.lit(True)
-        for i in range(len(slots)):
-            cond = cond & (F.col(f"s{i}") == 1)
-        cand = covered.filter(cond).select("doc_id")
-        min_df = min(min(stats[t]["doc_freq"] for t in s) for s in slots)
-        if min_df <= 1_000_000:
-            cand = F.broadcast(cand)
-        pos = self._positions(uniq).join(cand, "doc_id", "left_semi").persist()
+        # doc-level pruning before touching positions. The chain joins below
+        # enforce exact slot coverage, so any SUPERSET of the true candidate
+        # set is correct — when the rarest slot is small, decode its doc set
+        # on the driver and push a JVM InSet filter (no python stage, no
+        # broadcast exchange); otherwise compute the full slot conjunction.
+        rare_slot = min(slots, key=lambda s: sum(stats[t]["doc_freq"] for t in s))
+        rare_total = sum(stats[t]["doc_freq"] for t in rare_slot)
+        if rare_total <= 20_000:
+            ids: set = set()
+            for t in rare_slot:
+                ids.update(self._term_docs_driver(t))
+            in_list = ",".join(map(str, sorted(ids)))
+            pos = self._positions(uniq).filter(
+                F.expr(f"doc_id IN ({in_list})")
+            ).persist()
+        else:
+            flat = self._term_docs(uniq)
+            aggs = [
+                F.max(F.when(F.col("term").isin(s), 1).otherwise(0)).alias(f"s{i}")
+                for i, s in enumerate(slots)
+            ]
+            covered = flat.groupBy("doc_id").agg(*aggs)
+            cond = F.lit(True)
+            for i in range(len(slots)):
+                cond = cond & (F.col(f"s{i}") == 1)
+            cand = covered.filter(cond).select("doc_id")
+            if rare_total <= 1_000_000:
+                cand = F.broadcast(cand)
+            pos = self._positions(uniq).join(cand, "doc_id", "left_semi").persist()
         chain = (
             pos.filter(F.col("term").isin(slots[0]))
             .select("doc_id", F.col("pos").alias("p0"), "dlq")
@@ -432,6 +446,24 @@ class IndexSearcher:
 
         out = blocks.mapInPandas(decode, schema="doc_id long, tf int, dlq int")
         return self._drop_deleted(out)
+
+    def _term_docs_driver(self, term: str) -> list[int]:
+        """Decode one term's doc_ids ON THE DRIVER: its packed blocks are
+        ~df/128 small rows (a few MB even at df=100k), and a driver numpy
+        decode avoids spinning up a whole python-worker stage just to
+        produce a broadcast side — the TermStates-style driver gather."""
+        rows = (
+            self.postings.filter(F.col("term") == term)
+            .select("n", "first_doc", "docs_bin")
+            .collect()
+        )
+        out = []
+        for r in rows:
+            docs = np.int64(r["first_doc"]) + np.cumsum(
+                K.for_unpack(bytes(r["docs_bin"]), int(r["n"]))
+            ).astype(np.int64)
+            out.append(docs)
+        return np.concatenate(out).tolist() if out else []
 
     def _term_docs(self, terms: list[str]) -> DataFrame:
         """(doc_id, term) rows — one per posting, no scores, no norms.
@@ -698,7 +730,18 @@ class IndexSearcher:
                 # term instead of the full disjunction of all clause terms.
                 # doc_ids are unique within one term's postings: no distinct.
                 rarest = min(must_set, key=lambda t: stats[t]["doc_freq"])
-                if stats[rarest]["doc_freq"] <= 1_000_000:
+                rare_df = stats[rarest]["doc_freq"]
+                if rare_df <= 20_000:
+                    # small enough to decode on the driver: a JVM InSet
+                    # filter rides the decode stage — no extra python
+                    # stage, no broadcast exchange. One SQL string, not
+                    # isin(list): py4j marshals python literals one at a
+                    # time (~0.7 ms each — 0.7 s of plan-build for 1k ids)
+                    ids = self._term_docs_driver(rarest)
+                    scored = scored.filter(
+                        F.expr(f"doc_id IN ({','.join(map(str, ids))})")
+                    )
+                elif rare_df <= 1_000_000:
                     rare = self._term_docs([rarest]).select("doc_id")
                     scored = scored.join(F.broadcast(rare), "doc_id", "left_semi")
 
