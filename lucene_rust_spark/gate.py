@@ -566,6 +566,82 @@ SQL_TEXT_FINGERPRINT = (
 )
 
 
+_LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "de"),
+    "fr": ("le", "la", "et"),
+    "de": ("der", "die", "und"),
+}
+
+
+def text_lang_id(spark, sf_dir):
+    """Language-ID heuristic (training-data pipeline op): argmax of
+    per-language marker-token counts, deterministic tie-break by language
+    code ascending, 'und' when no marker occurs. Pure JVM column ops."""
+    t = _toks(spark, sf_dir)
+
+    def marker_count(m):
+        # closure factory: a 2-arg lambda would make PySpark pass the
+        # array index as the second argument
+        return F.size(F.filter("toks", lambda x: x.isin(*m)))
+
+    counts = {lang: marker_count(m) for lang, m in _LANG_MARKERS.items()}
+    best_lang = F.lit("und")
+    best_n = F.lit(0)
+    for lang in sorted(_LANG_MARKERS, reverse=True):
+        c = counts[lang]
+        cond = c >= F.greatest(best_n, F.lit(1))
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_n = F.when(cond, c).otherwise(best_n)
+    return t.select("doc_id", best_lang.alias("pred_lang"))
+
+
+def _sql_marker_count(lang: str) -> str:
+    m = ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang])
+    return f"len(list_filter(toks, x -> x IN ({m})))"
+
+
+def _sql_lang_id() -> str:
+    # mirror the Spark fold: iterate languages descending, keep when
+    # count >= max(best, 1) — equivalent to argmax with asc tie-break
+    expr_lang, expr_n = "'und'", "0"
+    for lang in sorted(_LANG_MARKERS, reverse=True):
+        c = _sql_marker_count(lang)
+        expr_lang = f"CASE WHEN {c} >= greatest({expr_n}, 1) THEN '{lang}' ELSE {expr_lang} END"
+        expr_n = f"CASE WHEN {c} >= greatest({expr_n}, 1) THEN {c} ELSE {expr_n} END"
+    return expr_lang
+
+
+SQL_TEXT_LANG_ID = (
+    f"WITH tk AS ({_SQL_TOKS}) SELECT doc_id, {_sql_lang_id()} AS pred_lang FROM tk"
+)
+
+
+_BPEISH_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"  # subword-ish units; RE2/Java-neutral
+
+
+def text_token_counts(spark, sf_dir):
+    """Token counting two ways (training-data pipeline op): whitespace
+    tokens and BPE-ish units (letter runs / digit runs / single
+    punctuation) — the pre-tokenizer shape of byte-pair encoders."""
+    d = _docs(spark, sf_dir)
+    ws = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+    bpeish = F.size(F.expr(f"regexp_extract_all(lower(text), '{_BPEISH_RE}', 0)"))
+    return d.select(
+        "doc_id",
+        ws.cast("long").alias("ws_tokens"),
+        bpeish.cast("long").alias("bpeish_tokens"),
+    )
+
+
+SQL_TEXT_TOKEN_COUNTS = f"""
+SELECT doc_id,
+  len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS ws_tokens,
+  len(regexp_extract_all(lower(text), '{_BPEISH_RE}'))::BIGINT AS bpeish_tokens
+FROM documents
+"""
+
+
 def text_lang_share(spark, sf_dir):
     """Language distribution with quality gate (doc length ≥ 20 tokens)."""
     d = _docs(spark, sf_dir).join(ft_norms(spark, sf_dir), "doc_id")
@@ -727,6 +803,8 @@ GATE: dict[str, tuple] = {
     "text_quality": (text_quality, SQL_TEXT_QUALITY),
     "text_fingerprint": (text_fingerprint, SQL_TEXT_FINGERPRINT),
     "text_lang_share": (text_lang_share, SQL_TEXT_LANG_SHARE),
+    "text_lang_id": (text_lang_id, SQL_TEXT_LANG_ID),
+    "text_token_counts": (text_token_counts, SQL_TEXT_TOKEN_COUNTS),
     "ann_cosine_scores": (ann_cosine_scores, SQL_ANN_COSINE_SCORES),
     "topk_by_field": (topk_by_field, SQL_TOPK_BY_FIELD),
     "agg_partial_final": (agg_partial_final, SQL_AGG_PARTIAL_FINAL),
