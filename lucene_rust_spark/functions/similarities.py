@@ -144,12 +144,70 @@ class LMJelinekMercer(Similarity):
         return np.maximum(s, np.float32(0.0))
 
 
+class DFRInL2(Similarity):
+    """DFR I(n)L2 (clt/search/similarities/mod.rs:1-46 [stub]; Amati &
+    van Rijsbergen's published DFR framework, the combo Lucene ships as
+    DFRSimilarity(BasicModelIn, AfterEffectL, NormalizationH2, c=1)):
+        tfn   = tf * log2(1 + avgdl / dl)          (H2, c=1)
+        score = tfn / (tfn + 1) * log2((N+1) / (df+0.5))   (L after-effect x In)
+    dl = SmallFloat-decoded norm clamped >= 1; all float32, pinned op order."""
+
+    name = "dfr_inl2"
+
+    def __init__(self, doc_count: int, sum_ttf: int):
+        super().__init__(doc_count, sum_ttf)
+        self.dl_cache = np.maximum(K.byte4_to_int(np.arange(256)), 1).astype(np.float32)
+
+    def idf(self, doc_freq: int) -> np.float32:
+        return np.float32(
+            np.log2(np.float64(self.doc_count + 1) / (np.float64(doc_freq) + 0.5))
+        )
+
+    def score(self, tf, dlq, idf):
+        dl = self.dl_cache[np.asarray(dlq, dtype=np.int64) & 0xFF]
+        tfn = (tf.astype(np.float32) * np.log2(np.float32(1.0) + self.avgdl / dl)).astype(
+            np.float32
+        )
+        return ((tfn / (tfn + np.float32(1.0))) * idf.astype(np.float32)).astype(np.float32)
+
+
+class IBLogLogistic(Similarity):
+    """IB LL (information-based, Clinchant & Gaussier SIGIR'10; Lucene ships
+    it as IBSimilarity(DistributionLL, LambdaDF, NormalizationH2)):
+        lambda = (df + 1) / (N + 1)
+        tfn    = tf * log2(1 + avgdl / dl)          (H2, c=1)
+        score  = ln((tfn + lambda) / lambda)
+    All float32, pinned op order; dl clamped >= 1."""
+
+    name = "ib_ll"
+
+    def __init__(self, doc_count: int, sum_ttf: int):
+        super().__init__(doc_count, sum_ttf)
+        self.dl_cache = np.maximum(K.byte4_to_int(np.arange(256)), 1).astype(np.float32)
+
+    def idf(self, doc_freq: int) -> np.float32:
+        return np.float32(1.0)
+
+    def weight(self, doc_freq: int, total_term_freq: int) -> np.float32:
+        return np.float32(np.float64(doc_freq + 1) / np.float64(self.doc_count + 1))
+
+    def score(self, tf, dlq, idf):
+        lam = idf.astype(np.float32)
+        dl = self.dl_cache[np.asarray(dlq, dtype=np.int64) & 0xFF]
+        tfn = (tf.astype(np.float32) * np.log2(np.float32(1.0) + self.avgdl / dl)).astype(
+            np.float32
+        )
+        return np.log((tfn + lam) / lam).astype(np.float32)
+
+
 SIMILARITIES = {
     "bm25": BM25,
     "classic": ClassicTFIDF,
     "boolean": Boolean,
     "lmd": LMDirichlet,
     "lmjm": LMJelinekMercer,
+    "dfr_inl2": DFRInL2,
+    "ib_ll": IBLogLogistic,
 }
 
 
