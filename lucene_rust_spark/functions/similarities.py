@@ -200,6 +200,37 @@ class IBLogLogistic(Similarity):
         return np.log((tfn + lam) / lam).astype(np.float32)
 
 
+class DFIStandardized(Similarity):
+    """DFI with the standardized independence measure (Kocabas et al.'s
+    published divergence-from-independence model; Lucene ships it as
+    DFISimilarity(IndependenceStandardized)):
+        expected = (ttf / sumTotalTermFreq) * dl
+        score    = log2(1 + (tf - expected)/sqrt(expected)),  0 when tf <= expected
+    All float32, pinned op order; dl clamped >= 1."""
+
+    name = "dfi"
+
+    def __init__(self, doc_count: int, sum_ttf: int):
+        super().__init__(doc_count, sum_ttf)
+        self.dl_cache = np.maximum(K.byte4_to_int(np.arange(256)), 1).astype(np.float32)
+
+    def idf(self, doc_freq: int) -> np.float32:
+        return np.float32(1.0)
+
+    def weight(self, doc_freq: int, total_term_freq: int) -> np.float32:
+        return np.float32(
+            np.float64(max(total_term_freq, 1)) / np.float64(max(self.sum_ttf, 1))
+        )
+
+    def score(self, tf, dlq, idf):
+        w = idf.astype(np.float32)  # ttf / sumTotalTermFreq
+        dl = self.dl_cache[np.asarray(dlq, dtype=np.int64) & 0xFF]
+        e = (w * dl).astype(np.float32)
+        m = ((tf.astype(np.float32) - e) / np.sqrt(e)).astype(np.float32)
+        # tf <= expected => m+1 clamps to 1 => log2 = 0 (no divergence)
+        return np.log2(np.maximum(m + np.float32(1.0), np.float32(1.0))).astype(np.float32)
+
+
 SIMILARITIES = {
     "bm25": BM25,
     "classic": ClassicTFIDF,
@@ -208,6 +239,7 @@ SIMILARITIES = {
     "lmjm": LMJelinekMercer,
     "dfr_inl2": DFRInL2,
     "ib_ll": IBLogLogistic,
+    "dfi": DFIStandardized,
 }
 
 

@@ -37,7 +37,9 @@ def test_query_type_rank_identity(searcher, oracle_idx, q):
     assert searcher.search(q, 10) == oracle_search(oracle_idx, q, 10)
 
 
-@pytest.mark.parametrize("sim", ["classic", "boolean", "lmd", "lmjm", "dfr_inl2", "ib_ll"])
+@pytest.mark.parametrize(
+    "sim", ["classic", "boolean", "lmd", "lmjm", "dfr_inl2", "ib_ll", "dfi"]
+)
 def test_alt_similarities(spark, t1_index, oracle_idx, sim):
     from lucene_rust_spark.search.searcher import IndexSearcher
 
