@@ -133,7 +133,8 @@ def for_pack(values: np.ndarray) -> bytes:
     return bytes([bw]) + packed.tobytes()
 
 
-_PFOR_MARKER = 255  # legit FOR bitwidths are 0..64, so 255 is free
+_PFOR_MARKER = 255  # legit FOR bitwidths are 0..64, so 255/254 are free
+_PFOR_MARKER16 = 254  # wide variant: exception positions stored as u16
 
 
 def pfor_pack(values: np.ndarray, max_exceptions: int = 3) -> bytes:
@@ -141,14 +142,20 @@ def pfor_pack(values: np.ndarray, max_exceptions: int = 3) -> bytes:
     clt/codecs/lucene90/mod.rs:26 p_for_util [stub]; Lucene 9 public
     semantics: pack at a lower bit width and store up to 3 outliers
     separately). Layout: [255][bw_low][n_exc][(pos u8, value u64-BE) x
-    n_exc][payload at bw_low, exception slots masked]. Falls back to plain
-    FOR when patching saves no bytes — the output is self-describing
-    either way, so for_unpack decodes both transparently."""
+    n_exc][payload at bw_low, exception slots masked]. Inputs longer than
+    256 (the per-block position stream: sum of tf, unbounded by BLOCK_SIZE)
+    use marker 254 with u16-BE positions; beyond 65536 values patching
+    falls back to plain FOR. The output is self-describing either way, so
+    for_unpack decodes all variants transparently."""
     v = values.astype(np.uint64)
     n = len(v)
     if n == 0:
         return for_pack(v)
     plain = for_pack(v)
+    if n > 65536:
+        return plain
+    wide = n > 256
+    marker, pos_bytes = (_PFOR_MARKER16, 2) if wide else (_PFOR_MARKER, 1)
     best = plain
     order = np.argsort(v)[::-1]  # biggest values = exception candidates
     for n_exc in range(1, min(max_exceptions, n - 1) + 1):
@@ -161,9 +168,9 @@ def pfor_pack(values: np.ndarray, max_exceptions: int = 3) -> bytes:
             payload = for_pack(masked)[1:]
         else:
             payload = b""
-        out = bytes([_PFOR_MARKER, bw_low, n_exc])
+        out = bytes([marker, bw_low, n_exc])
         for p in exc_pos:
-            out += bytes([int(p)]) + int(v[p]).to_bytes(8, "big")
+            out += int(p).to_bytes(pos_bytes, "big") + int(v[p]).to_bytes(8, "big")
         out += payload
         if len(out) < len(best):
             best = out
@@ -174,15 +181,16 @@ def for_unpack(buf: bytes, count: int) -> np.ndarray:
     if count == 0:
         return np.zeros(0, dtype=np.uint64)
     bw = buf[0]
-    if bw == _PFOR_MARKER:
+    if bw in (_PFOR_MARKER, _PFOR_MARKER16):
+        pos_bytes = 2 if bw == _PFOR_MARKER16 else 1
         bw_low, n_exc = buf[1], buf[2]
         pos = np.empty(n_exc, dtype=np.int64)
         val = np.empty(n_exc, dtype=np.uint64)
         off = 3
         for i in range(n_exc):
-            pos[i] = buf[off]
-            val[i] = int.from_bytes(buf[off + 1 : off + 9], "big")
-            off += 9
+            pos[i] = int.from_bytes(buf[off : off + pos_bytes], "big")
+            val[i] = int.from_bytes(buf[off + pos_bytes : off + pos_bytes + 8], "big")
+            off += pos_bytes + 8
         if bw_low == 0:
             out = np.zeros(count, dtype=np.uint64)
         else:

@@ -100,10 +100,16 @@ def wand_candidates(searcher, scoring: list, stats: dict, k: int):
             .filter(F.col("cum_n") - F.col("n") < 4 * k)
             .drop("cum_n", "ub")
         )
+        # tombstones must not inflate theta: a deleted doc's partial score
+        # is not a lower bound of any LIVE doc's true score, so theta taken
+        # over it could exceed the true live k-th score and over-prune
+        # (the liveDocs view, clt/index/leaf_reader.rs:250)
         partial = (
-            searcher._scored_postings(scoring, stats, blocks=best)
-            .groupBy("doc_id")
-            .agg(F.sum("score").alias("ps"))
+            searcher._drop_deleted(
+                searcher._scored_postings(scoring, stats, blocks=best)
+                .groupBy("doc_id")
+                .agg(F.sum("score").alias("ps"))
+            )
             .orderBy(F.desc("ps"))
             .limit(k)
             .collect()
@@ -146,7 +152,7 @@ def wand_candidates(searcher, scoring: list, stats: dict, k: int):
         # broadcast the DataFrame itself — no driver round-trip of up to
         # 100k doc_ids through collect()/createDataFrame
         cand_df = (
-            cand.filter(F.col("ps") + unseen_ub >= F.lit(theta))
+            searcher._drop_deleted(cand.filter(F.col("ps") + unseen_ub >= F.lit(theta)))
             .select(F.col("doc_id").alias("cand"))
             .persist()
         )

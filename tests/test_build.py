@@ -202,3 +202,35 @@ def test_pfor_codec_build_rank_identity(spark, tmp_path, oracle_idx):
     s2 = IndexSearcher(spark, out)
     for q in qs:
         assert s2.search(q, 10) == s.search(q, 10)
+
+
+def test_pfor_positions_build_phrase(spark, tmp_path):
+    """codec='pfor' + positions=True: the per-block position stream holds
+    sum-of-tf entries (384 here, > 256), so exception positions past index
+    255 need the u16 wide marker — this exact build crashed with the 1-byte
+    format. Phrase results must match a plain-FOR build byte-for-byte."""
+    import pandas as pd
+
+    from lucene_rust_spark.index.build import build_index
+    from lucene_rust_spark.oracle.bm25 import phrase_query
+    from lucene_rust_spark.search.searcher import IndexSearcher
+
+    rows = []
+    for i in range(256):
+        if i in (120, 125):  # outlier position delta deep in block 0
+            text = "alpha " + ("pad " * 300) + "alpha beta"
+        else:
+            text = "alpha beta alpha gamma alpha"
+        rows.append((f"r{i % 4}", f"p/{i}.py", "c0", "python", text))
+    src = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+    )
+    out_p = str(tmp_path / "pforpos")
+    out_f = str(tmp_path / "forpos")
+    build_index(spark, src, out_p, num_partitions=2, positions=True, codec="pfor")
+    build_index(spark, src, out_f, num_partitions=2, positions=True, codec="for")
+    sp = IndexSearcher(spark, out_p, cache=True)
+    sf = IndexSearcher(spark, out_f, cache=True)
+    q = phrase_query(["alpha", "beta"], slop=0)
+    assert sp.search(q, 10) == sf.search(q, 10)
+    assert sp.count(q) == sf.count(q) > 0

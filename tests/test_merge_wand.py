@@ -122,3 +122,26 @@ def test_wand_candidate_restriction(searcher):
     n_match = searcher.count(bool_query(should=should))
     assert 1 <= n_cand < n_match, (n_cand, n_match)
     assert blocks.count() <= searcher.postings.filter(F.col("term").isin(should)).count()
+
+
+def test_wand_equals_exact_with_tombstones(spark, t1_index, searcher):
+    """Prune on == prune off when score-competitive docs are DELETED.
+    Deleting the current top-k makes every tombstone score above the true
+    live k-th score — exactly the case where a theta computed over all docs
+    (instead of live docs) over-prunes and silently loses live top-k rows
+    (clt/search/mod.rs:167 x clt/index/leaf_reader.rs:250)."""
+    from lucene_rust_spark.oracle.bm25 import bool_query, term_query
+    from lucene_rust_spark.search.searcher import IndexSearcher
+
+    out, _ = t1_index
+    for q in [bool_query(should=["value", "token"]), term_query("token")]:
+        top = searcher.search(q, k=5, prune=False)
+        assert len(top) == 5
+        deleted = {int(d) for d, _ in top}
+        tomb = spark.createDataFrame([(d,) for d in sorted(deleted)], "doc_id long")
+        s2 = IndexSearcher(spark, out, tombstones=tomb)
+        got = s2.search(q, k=10, prune=True)
+        want = s2.search(q, k=10, prune=False)
+        assert got == want, q
+        assert len(got) == 10
+        assert not deleted & {d for d, _ in got}
