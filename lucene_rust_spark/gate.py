@@ -449,10 +449,16 @@ bits AS (
 sigs AS (
   SELECT doc_id, sum(CASE WHEN sv > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sig
   FROM bits GROUP BY doc_id
+),
+-- zero-token docs carry sig = 0 (same as SQL_DEDUP_SIMHASH): the engine
+-- emits them, and two empty docs ARE hamming-0 near-dups of each other
+allsigs AS (
+  SELECT d.doc_id, COALESCE(s.sig, 0)::BIGINT AS sig
+  FROM documents d LEFT JOIN sigs s ON d.doc_id = s.doc_id
 )
 SELECT x.doc_id AS a, y.doc_id AS b,
        bit_count(xor(x.sig, y.sig))::BIGINT AS hamming
-FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+FROM allsigs x JOIN allsigs y ON x.doc_id < y.doc_id
 WHERE bit_count(xor(x.sig, y.sig)) <= 3
 """
 

@@ -532,6 +532,48 @@ def _staged_group(spark: SparkSession, out_dir: str, g: int) -> DataFrame | None
     return spark.read.parquet(*paths)
 
 
+def write_terms_dict(agg: DataFrame, out_path: str, n_range_parts: int) -> None:
+    """Write a term-sorted dict with dense global ordinals (OrdinalMap,
+    clt/index/ordinal_map.rs:1-527). agg must have columns (term, doc_freq,
+    total_term_freq, n_blocks). Range partitions are term-ordered, so
+    ordinal = partition offset + local rank — two vocab-sized passes (local
+    ranks, then per-partition counts collected to offsets), never a
+    single-partition global sort. Shared by build finalize and streaming
+    append so built and appended dicts keep one schema."""
+
+    def _local_rank(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        base = 0
+        for pdf in batches:
+            pdf = pdf.assign(pid=pid, local_ord=np.arange(base, base + len(pdf)))
+            base += len(pdf)
+            yield pdf
+
+    ranged = agg.repartitionByRange(max(1, n_range_parts), "term").sortWithinPartitions(
+        "term"
+    )
+    schema = "term string, doc_freq long, total_term_freq long, n_blocks long, pid int, local_ord long"
+    loc = ranged.mapInPandas(_local_rank, schema=schema).persist()
+    counts = {
+        r["pid"]: r["n"]
+        for r in loc.groupBy("pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_map = F.create_map(*[x for p in offsets for x in (F.lit(p), F.lit(offsets[p]))])
+    (
+        loc.withColumn("ordinal", (off_map[F.col("pid")] + F.col("local_ord")).cast("long"))
+        .drop("pid", "local_ord")
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+    loc.unpersist()
+
+
 def build_index(
     spark: SparkSession,
     source: DataFrame,
@@ -604,39 +646,9 @@ def build_index(
             F.sum("sum_tf").cast("long").alias("total_term_freq"),
             F.count("*").cast("long").alias("n_blocks"),
         )
-    ranged = src_terms.repartitionByRange(
-        max(1, min(num_partitions // 8, 64)), "term"
-    ).sortWithinPartitions("term")
-
-    # global term ordinals (OrdinalMap, clt/index/ordinal_map.rs:1-527):
-    # range partitions are term-ordered, so ordinal = partition offset +
-    # local rank. Two vocab-sized passes (local ranks, then per-partition
-    # counts collected to offsets) — never a single-partition global sort.
-    def _local_rank(batches):
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        base = 0
-        for pdf in batches:
-            pdf = pdf.assign(pid=pid, local_ord=np.arange(base, base + len(pdf)))
-            base += len(pdf)
-            yield pdf
-
-    schema = "term string, doc_freq long, total_term_freq long, n_blocks long, pid int, local_ord long"
-    loc = ranged.mapInPandas(_local_rank, schema=schema).persist()
-    counts = {r["pid"]: r["n"] for r in loc.groupBy("pid").agg(F.count("*").alias("n")).collect()}
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    off_map = F.create_map(*[x for p in offsets for x in (F.lit(p), F.lit(offsets[p]))])
-    (
-        loc.withColumn("ordinal", (off_map[F.col("pid")] + F.col("local_ord")).cast("long"))
-        .drop("pid", "local_ord")
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_dir, "terms"))
+    write_terms_dict(
+        src_terms, os.path.join(out_dir, "terms"), max(1, min(num_partitions // 8, 64))
     )
-    loc.unpersist()
     _dbg("terms", t_terms)
 
     doc_count = sum(gs["doc_count"] for gs in group_stats)

@@ -246,7 +246,8 @@ def oracle_search(
         if not terms:
             return []
         df_blend = max(len(idx.postings[t][0]) for t in terms)
-        idf = sim.idf(df_blend)
+        ttf_sum = sum(int(idx.postings[t][1].sum()) for t in terms)
+        idf = sim.weight(df_blend, ttf_sum)
         freq = np.zeros(idx.doc_count, dtype=np.int64)
         for t in terms:
             ix, tf = idx.postings[t]

@@ -829,8 +829,12 @@ class IndexSearcher:
         terms = [t for t in terms if t in stats]
         if not terms:
             return self._empty_result()
+        # blended stats: df = max (synonyms co-occur), ttf = sum (Lucene
+        # blends totalTermFreq additively for the LM/IB/DFI families whose
+        # per-term statistic is weight(df, ttf), not idf(df))
         df_blend = max(stats[t]["doc_freq"] for t in terms)
-        idf = np.float32(self.sim.idf(df_blend))
+        ttf_sum = sum(stats[t]["total_term_freq"] for t in terms)
+        idf = np.float32(self.sim.weight(df_blend, ttf_sum))
         freqs = (
             self._postings_freqs(terms)
             .groupBy("doc_id")

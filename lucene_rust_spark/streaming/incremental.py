@@ -16,7 +16,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lucene_rust_spark.index.build import PARTITION_SHIFT, _build_group, with_partition
+from lucene_rust_spark.index.build import (
+    PARTITION_SHIFT,
+    _build_group,
+    with_partition,
+    write_terms_dict,
+)
 from lucene_rust_spark.index.manifest import commit_manifest, read_manifest
 
 # part ids must fit in 23 bits (doc_id = part << 40 in a signed 64-bit):
@@ -93,12 +98,9 @@ def append_batch(
             F.sum("sum_tf").cast("long").alias("total_term_freq"),
             F.count("*").cast("long").alias("n_blocks"),
         )
-    (
-        agg.repartitionByRange(max(1, width // 8), "term")
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .parquet(os.path.join(index_dir, terms_dir))
-    )
+    # same ordinal-bearing writer as build finalize: built and appended
+    # dicts keep one schema and the dense-ordinal invariant survives appends
+    write_terms_dict(agg, os.path.join(index_dir, terms_dir), max(1, width // 8))
     manifest["terms_dir"] = terms_dir
     commit_manifest(index_dir, manifest)
     return manifest

@@ -97,3 +97,19 @@ def test_ann_vs_bruteforce(emb):
     again = [r["id"] for r in cosine_topk(pool, qvec, 10).collect()]
     assert exact == again
     pool.unpersist()
+
+
+def test_simhash_pairs_empty_docs(spark):
+    """Zero-token docs get sig = 0 and two of them are hamming-0 pairs —
+    the engine and its SQL oracle must agree on this edge (the band join
+    must surface the all-zero bucket, not drop it)."""
+    from lucene_rust_spark.operators.dedup import simhash, simhash_pairs
+
+    d = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "totally different content here")],
+        "id long, text string",
+    )
+    sigs = {r["id"]: r["sig"] for r in simhash(d).collect()}
+    assert sigs[1] == 0 and sigs[2] == 0
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in simhash_pairs(d).collect()}
+    assert pairs.get((1, 2)) == 0

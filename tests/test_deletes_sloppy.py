@@ -303,3 +303,32 @@ def test_count_plan_has_no_global_sort(searcher):
         assert "Sort " not in plan.replace("SortAggregate", "").replace(
             "SortMergeJoin", ""
         ), plan[:2000]
+
+
+def test_append_keeps_terms_schema_and_ordinals(spark, tmp_path):
+    """append_batch must write the same terms schema as build_index —
+    including the dense global `ordinal` column — so the OrdinalMap
+    invariant (ordinal == rank in the sorted dict, 0..n-1) survives
+    appends instead of silently drifting."""
+    import os
+
+    import numpy as np
+
+    from lucene_rust_spark.corpus import gen_corpus_spark
+    from lucene_rust_spark.index.build import build_index
+    from lucene_rust_spark.index.manifest import read_manifest
+    from lucene_rust_spark.streaming.incremental import append_batch
+
+    out = str(tmp_path / "idx")
+    src = gen_corpus_spark(spark, 200, 4).persist()
+    b0 = src.filter(F.crc32(F.col("path")) % 2 == 0)
+    b1 = src.filter(F.crc32(F.col("path")) % 2 == 1)
+    build_index(spark, b0, out, num_partitions=4)
+    built_schema = spark.read.parquet(os.path.join(out, "terms")).schema
+    append_batch(spark, b1, out, epoch=0, num_partitions=4)
+    m = read_manifest(out)
+    t = spark.read.parquet(os.path.join(out, m["terms_dir"]))
+    assert set(f.name for f in t.schema) == set(f.name for f in built_schema)
+    pdf = t.select("term", "ordinal").toPandas().sort_values("term").reset_index(drop=True)
+    assert (pdf["ordinal"].to_numpy() == np.arange(len(pdf))).all()
+    src.unpersist()

@@ -85,3 +85,43 @@ def test_phrase_query(spark, tmp_path_factory):
     n_phrase = len(oracle_search(oidx, phrase_query(bigram), 1000))
     n_and = len(oracle_search(oidx, bool_query(must=bigram), 1000))
     assert 1 <= n_phrase <= n_and
+
+
+@pytest.mark.parametrize("sim_name", ["lmd", "lmjm", "ib_ll", "dfi"])
+def test_synonym_blended_stats_lm(spark, t1_index, oracle_idx, sim_name):
+    """SynonymQuery under the LM/IB/DFI families: both stats must blend
+    (df = max, ttf = sum) and feed sim.weight — not the degenerate
+    idf() == 1.0. Parity alone can't catch a both-sides regression, so the
+    top hit is also checked against a first-principles kernel call."""
+    import numpy as np
+
+    from lucene_rust_spark.functions.similarities import get_similarity
+    from lucene_rust_spark.oracle.bm25 import synonym_query
+    from lucene_rust_spark.search.searcher import IndexSearcher
+
+    out, _ = t1_index
+    q = synonym_query(["merge", "index"])
+    s = IndexSearcher(spark, out, cache=True, similarity=sim_name)
+    got = s.search(q, k=10)
+    want = oracle_search(oracle_idx, q, k=10, similarity=sim_name)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    assert all(
+        np.float32(a) == np.float32(b) for (_, a), (_, b) in zip(got, want)
+    )
+    # first principles: score(freq_sum, dlq, weight(df_max, ttf_sum))
+    sim = get_similarity(sim_name, oracle_idx.doc_count, oracle_idx.sum_ttf)
+    ixa, tfa = oracle_idx.postings["merge"]
+    ixb, tfb = oracle_idx.postings["index"]
+    freq = np.zeros(oracle_idx.doc_count, dtype=np.int64)
+    freq[ixa] += tfa
+    freq[ixb] += tfb
+    df_blend = max(len(ixa), len(ixb))
+    ttf_sum = int(tfa.sum()) + int(tfb.sum())
+    w = np.float32(sim.weight(df_blend, ttf_sum))
+    assert w != np.float32(1.0), "blended weight degenerated to 1.0"
+    top_doc, top_score = got[0]
+    i = int(np.flatnonzero(oracle_idx.doc_ids == top_doc)[0])
+    expected = sim.score(
+        freq[[i]], oracle_idx.dlq[[i]], np.full(1, w, dtype=np.float32)
+    )[0]
+    assert np.float32(top_score) == np.float32(expected)
