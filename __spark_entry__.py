@@ -300,6 +300,26 @@ def _engine_field_lang_count(spark, sf_dir):
     )
 
 
+def _engine_topk_by_field(spark, sf_dir):
+    """TopFieldCollector (clt/search/mod.rs:157) through the engine: the
+    'merge' match set ordered by stored docmap fields (lang asc, path
+    desc) instead of relevance — k=15. path is unique per doc, so the
+    sort is total and the oracle needs no engine-doc_id tiebreak."""
+    from pyspark.sql import functions as F
+
+    from lucene_rust_spark.entry_helpers import gate_searcher
+
+    s = gate_searcher(spark, sf_dir)
+    out = s.search_by_field(
+        {"type": "term", "term": "merge"},
+        [{"field": "lang"}, {"field": "path", "reverse": True}],
+        k=15,
+    )
+    return out.select(
+        F.split("path", "/").getItem(1).cast("long").alias("doc_id"), "lang", "path"
+    )
+
+
 def _engine_count_threshold(spark, sf_dir):
     from lucene_rust_spark.entry_helpers import gate_searcher
 
@@ -395,6 +415,13 @@ _ENGINE_QUERIES = {
     "engine_field_lang_count": (
         _engine_field_lang_count,
         "SELECT count(*)::BIGINT AS n_hits FROM documents WHERE lang = 'en'",
+    ),
+    "engine_topk_by_field": (
+        _engine_topk_by_field,
+        f"{_TOKS_CTE} SELECT d.doc_id, d.lang, 'doc/' || d.doc_id AS path "
+        "FROM tk JOIN documents d USING (doc_id) "
+        "WHERE list_contains(toks, 'merge') "
+        "ORDER BY d.lang ASC, path DESC LIMIT 15",
     ),
     "engine_count_threshold": (
         _engine_count_threshold,

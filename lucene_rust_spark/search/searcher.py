@@ -363,7 +363,7 @@ class IndexSearcher:
         self._scratch(pos)
         return freq
 
-    def _phrase_df(self, query: dict, k: int, search_after) -> DataFrame:
+    def _phrase_hits(self, query: dict) -> DataFrame:
         """PhraseQuery / MultiPhraseQuery (clt/search/mod.rs:101,93 [stub];
         Lucene semantics): tf = phrase_freq; idf = float32 sum of per-term
         idfs in ascending-term order over the distinct terms."""
@@ -389,8 +389,7 @@ class IndexSearcher:
                 )
                 yield pd.DataFrame({"doc_id": pdf["doc_id"], "score": sc})
 
-        hits = freq.mapInPandas(score_kernel, schema="doc_id long, score float")
-        return self._finish(hits, k, search_after)
+        return freq.mapInPandas(score_kernel, schema="doc_id long, score float")
 
     def _matching_docs(self, terms: list[str]) -> DataFrame:
         """doc_ids containing any of the terms (no scoring) — for MUST_NOT."""
@@ -628,38 +627,56 @@ class IndexSearcher:
         than PRUNE_MIN_POSTINGS postings (measured crossover; at 100-TB
         head-term df this is always on, at test scale always off).
         Rank-identity is proven by the on/off equivalence tests either way."""
+        if query.get("type") == "boost":
+            # BoostQuery (clt/search/mod.rs:14): multiply scores, float32.
+            # search_after keys apply to the INNER (unboosted) scores —
+            # pinned with the oracle — so finish before scaling.
+            b = F.lit(float(query["boost"])).cast("float")
+            inner = self.search_df(query["query"], k, search_after, prune)
+            return inner.select("doc_id", (F.col("score") * b).cast("float").alias("score"))
+        hits = self.hits_df(query, k, search_after, prune)
+        return self._finish(hits, k, search_after)
+
+    def hits_df(
+        self,
+        query: dict,
+        k: int = 10,
+        search_after: tuple | None = None,
+        prune: bool | None = None,
+    ) -> DataFrame:
+        """Scored matches (doc_id long, score float) for any query —
+        UNSORTED and before the live-docs filter; _finish() turns this
+        into a top-k. k/search_after/prune only steer the WAND pruning
+        decision (a pruned frame is still exact for docs that can reach
+        the top k). Field-sort collectors consume this directly."""
         auto_prune = prune is None
         prune = bool(prune)
         qt = query.get("type")
         if qt == "match_all":
             # MatchAllDocsQuery (clt/search/mod.rs:80)
             boost = float(np.float32(query.get("boost", 1.0)))
-            hits = self.docmap.select(
+            return self.docmap.select(
                 "doc_id", F.lit(boost).cast("float").alias("score")
             )
-            return self._finish(hits, k, search_after)
         if qt == "boost":
-            # BoostQuery (clt/search/mod.rs:14): multiply scores, float32
             b = F.lit(float(query["boost"])).cast("float")
-            inner = self.search_df(query["query"], k, search_after, prune)
+            inner = self.hits_df(query["query"], k, search_after, prune)
             return inner.select("doc_id", (F.col("score") * b).cast("float").alias("score"))
         if qt == "const_score":
             # ConstantScoreQuery (clt/search/mod.rs:24-26): matching doc set
             # only — no inner scoring, no rank-the-world inner top-k
             c = float(np.float32(query.get("score", 1.0)))
-            hits = self.matching_docs_df(query["query"]).select(
+            return self.matching_docs_df(query["query"]).select(
                 "doc_id", F.lit(c).cast("float").alias("score")
             )
-            return self._finish(hits, k, search_after)
         if qt in CONSTANT_SCORE_TYPES:
             terms = self.expand_query_terms(query)
             if not terms:
                 return self._empty_result()
             boost = float(np.float32(query.get("boost", 1.0)))
-            hits = self._matching_docs(terms).select(
+            return self._matching_docs(terms).select(
                 "doc_id", F.lit(boost).cast("float").alias("score")
             )
-            return self._finish(hits, k, search_after)
         if qt == "fuzzy":
             # scoring-boolean rewrite over expanded terms
             terms = self.expand_query_terms(query)
@@ -668,12 +685,13 @@ class IndexSearcher:
             from lucene_rust_spark.oracle.bm25 import bool_query
 
             query = bool_query(should=terms)
+            qt = "bool"
         if qt == "dismax":
-            return self._dismax_df(query, k, search_after)
+            return self._dismax_hits(query)
         if qt == "synonym":
-            return self._synonym_df(query, k, search_after)
+            return self._synonym_hits(query)
         if qt in ("phrase", "multi_phrase"):
-            return self._phrase_df(query, k, search_after)
+            return self._phrase_hits(query)
 
         must, should, must_not, msm = query_terms(query)
         n_clauses = len(must) + len(should) + len(must_not)
@@ -770,12 +788,73 @@ class IndexSearcher:
                 "doc_id", _f32_fold(F.col("parts")).alias("score")
             )
 
-        return self._finish(hits, k, search_after)
+        return hits
 
     def search(self, query: dict, k: int = 10, search_after: tuple | None = None, prune: bool | None = None):
         """Top-k as [(doc_id, score_f32)] — TopDocs analog."""
         rows = self.search_df(query, k, search_after, prune).collect()
         return [(int(r["doc_id"]), float(np.float32(r["score"]))) for r in rows]
+
+    def search_by_field(self, query: dict, sort: list[dict], k: int = 10) -> DataFrame:
+        """TopFieldCollector (clt/search/mod.rs:157; comparators
+        clt/search/field_comparator.rs; SortField semantics
+        core/src/search/sort.rs:130-205): top-k of the matching docs
+        ordered by stored docmap fields instead of relevance.
+
+        Each sort spec: {"field": name | "_score" | "_doc",
+        "reverse": bool (default False), "missing": "first" | "last" |
+        number (default "last")}. Missing values substitute in NATURAL
+        (ascending) order — "last" treats null as +inf — and reverse flips
+        the whole comparator, so reverse + "last" places missing first
+        (Lucene SortField.setMissingValue semantics). doc_id is the final
+        tiebreak, matching the collector's stable doc-order tie rule.
+
+        Scale shape: scores are only computed when a spec asks for _score
+        (SortField::needs_score); otherwise the plan is the unscored match
+        set joined to the docmap on doc_id (both sides doc_id-ranged) and
+        Spark's TakeOrderedAndProject — per-partition heaps + driver merge,
+        never a global sort of all matches. WAND pruning is unsound for
+        field order (a low-scoring doc can win the field sort), so the
+        exact path is forced."""
+        specs = [dict(s) for s in sort]
+        if not specs:
+            raise ValueError("sort must name at least one field")
+        need_score = any(s["field"] == "_score" for s in specs)
+        if need_score:
+            hits = self._drop_deleted(self.hits_df(query, k, prune=False))
+        else:
+            hits = self.matching_docs_df(query)
+        field_cols = [
+            s["field"] for s in specs if s["field"] not in ("_score", "_doc")
+        ]
+        seen: set = set()
+        field_cols = [f for f in field_cols if not (f in seen or seen.add(f))]
+        bad = [f for f in field_cols if f not in self.docmap.columns]
+        if bad:
+            raise ValueError(f"unknown sort fields (not in docmap): {bad}")
+        base = (
+            hits.join(self.docmap.select("doc_id", *field_cols), "doc_id", "left")
+            if field_cols
+            else hits
+        )
+        order = []
+        for s in specs:
+            f = s["field"]
+            col = F.col("doc_id" if f == "_doc" else "score" if f == "_score" else f)
+            rev = bool(s.get("reverse", f == "_score"))
+            missing = s.get("missing", "last")
+            if isinstance(missing, (int, float)) and not isinstance(missing, bool):
+                col = F.coalesce(col, F.lit(missing))
+                order.append(col.desc() if rev else col.asc())
+            elif missing == "last":  # null = +inf in natural order
+                order.append(col.desc_nulls_first() if rev else col.asc_nulls_last())
+            elif missing == "first":  # null = -inf in natural order
+                order.append(col.desc_nulls_last() if rev else col.asc_nulls_first())
+            else:
+                raise ValueError(f"missing must be 'first', 'last', or a number: {missing!r}")
+        order.append(F.asc("doc_id"))
+        out_cols = ["doc_id"] + (["score"] if need_score else []) + field_cols
+        return base.orderBy(*order).limit(k).select(*out_cols)
 
     def count(self, query: dict) -> int:
         """TotalHitCountCollector (clt/search/mod.rs:161): exact hit count
@@ -818,7 +897,7 @@ class IndexSearcher:
             )
         return hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
-    def _synonym_df(self, query: dict, k: int, search_after) -> DataFrame:
+    def _synonym_hits(self, query: dict) -> DataFrame:
         """SynonymQuery (clt/search/mod.rs:145 [stub]; Lucene 9 semantics):
         all terms scored as ONE pseudo-term with BLENDED statistics —
         doc_freq = max over the terms (not sum: synonyms co-occur), freq =
@@ -853,10 +932,9 @@ class IndexSearcher:
                 )
                 yield pd.DataFrame({"doc_id": pdf["doc_id"], "score": sc})
 
-        hits = freqs.mapInPandas(score_kernel, schema="doc_id long, score float")
-        return self._finish(hits, k, search_after)
+        return freqs.mapInPandas(score_kernel, schema="doc_id long, score float")
 
-    def _dismax_df(self, query: dict, k: int, search_after) -> DataFrame:
+    def _dismax_hits(self, query: dict) -> DataFrame:
         """DisjunctionMaxQuery (clt/search/mod.rs:32-33): max over per-term
         scores + tie * sum(others), float32, pinned order (kernels.dismax)."""
         terms = sorted({c["term"] for c in query["queries"]})
@@ -866,12 +944,11 @@ class IndexSearcher:
         if not terms:
             return self._empty_result()
         scored = self._scored_postings(terms, stats)
-        hits = (
+        return (
             scored.groupBy("doc_id")
             .agg(F.collect_list(F.struct("term", "score")).alias("parts"))
             .select("doc_id", _dismax_fold(F.col("parts"), tie).alias("score"))
         )
-        return self._finish(hits, k, search_after)
 
     def _empty_result(self) -> DataFrame:
         return self.spark.createDataFrame([], "doc_id long, score float")

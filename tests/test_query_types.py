@@ -125,3 +125,79 @@ def test_synonym_blended_stats_lm(spark, t1_index, oracle_idx, sim_name):
         freq[[i]], oracle_idx.dlq[[i]], np.full(1, w, dtype=np.float32)
     )[0]
     assert np.float32(top_score) == np.float32(expected)
+
+
+def test_search_by_field(spark, searcher, t1_index):
+    """TopFieldCollector analog: field sort over docmap columns with
+    reverse + missing-value placement — checked against a pandas sort of
+    the same match set (clt/search/mod.rs:157, field_comparator.rs)."""
+    import numpy as np
+    import pandas as pd
+
+    q = bool_query(should=["merge", "window"])
+    match = searcher.matching_docs_df(q).join(searcher.docmap, "doc_id").toPandas()
+    # path asc: plain string order, unique key
+    got = searcher.search_by_field(q, [{"field": "path"}], k=12).toPandas()
+    want = match.sort_values("path").head(12)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    # repo desc then path asc
+    got = searcher.search_by_field(
+        q, [{"field": "repo", "reverse": True}, {"field": "path"}], k=12
+    ).toPandas()
+    want = match.sort_values(["repo", "path"], ascending=[False, True]).head(12)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    # _score desc (the default for _score) with repo asc as primary:
+    # expected ordering from the engine's own scored hits + docmap
+    hits = searcher.search_df(q, k=searcher.doc_count).toPandas()
+    joined = hits.merge(match[["doc_id", "repo"]], on="doc_id")
+    got = searcher.search_by_field(
+        q, [{"field": "repo"}, {"field": "_score"}], k=12
+    ).toPandas()
+    want = joined.sort_values(
+        ["repo", "score", "doc_id"], ascending=[True, False, True]
+    ).head(12)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert all(
+        np.float32(a) == np.float32(b)
+        for a, b in zip(got["score"], want["score"])
+    )
+
+
+def test_search_by_field_missing_values(spark, tmp_path):
+    """SortField missing-value semantics (core/src/search/sort.rs:150-205):
+    'last' treats null as +inf in NATURAL order (reverse flips it to the
+    front), 'first' as -inf, and a numeric missing value substitutes."""
+    import pandas as pd
+
+    from lucene_rust_spark.index.build import build_index
+    from lucene_rust_spark.search.searcher import IndexSearcher
+
+    rows = []
+    for i in range(20):
+        lang = None if i % 5 == 0 else f"l{i % 3}"
+        rows.append((f"r{i % 2}", f"p/{i:03d}", "c", lang, f"alpha tok{i}"))
+    src = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+    )
+    out = str(tmp_path / "idx")
+    build_index(spark, src, out, num_partitions=2)
+    s = IndexSearcher(spark, out)
+    q = {"type": "term", "term": "alpha"}
+
+    asc_last = s.search_by_field(q, [{"field": "lang"}], k=20).toPandas()
+    assert asc_last["lang"].notna()[: 20 - 4].all() and asc_last["lang"].isna()[-4:].all()
+    langs = asc_last["lang"].dropna().tolist()
+    assert langs == sorted(langs)
+
+    asc_first = s.search_by_field(
+        q, [{"field": "lang", "missing": "first"}], k=20
+    ).toPandas()
+    assert asc_first["lang"].isna()[:4].all()
+
+    # reverse + missing 'last' (natural +inf) => missing come FIRST
+    desc_last = s.search_by_field(
+        q, [{"field": "lang", "reverse": True, "missing": "last"}], k=20
+    ).toPandas()
+    assert desc_last["lang"].isna()[:4].all()
+    langs = desc_last["lang"].dropna().tolist()
+    assert langs == sorted(langs, reverse=True)
