@@ -235,6 +235,19 @@ def _engine_sloppy_count(spark, sf_dir):
     return count_df(spark, s.count(phrase_query(["merge", "window"], slop=1)))
 
 
+def _engine_sloppy3_count(spark, sf_dir):
+    """3-term sloppy phrase under EXACT Lucene semantics (slop_mode=
+    'lucene', SloppyPhraseScorer pq algorithm): a doc matches iff some
+    per-slot choice of adjusted positions has spread <= slop — strictly
+    tighter than the pinned anchor-window form for >2-term phrases."""
+    from lucene_rust_spark.entry_helpers import count_df, gate_searcher
+    from lucene_rust_spark.oracle.bm25 import phrase_query
+
+    s = gate_searcher(spark, sf_dir)
+    q = phrase_query(["merge", "window", "batch"], slop=2, slop_mode="lucene")
+    return count_df(spark, s.count(q))
+
+
 def _engine_multi_phrase_count(spark, sf_dir):
     from lucene_rust_spark.entry_helpers import count_df, gate_searcher
     from lucene_rust_spark.oracle.bm25 import multi_phrase_query
@@ -382,6 +395,17 @@ _ENGINE_QUERIES = {
         f"{_POS_CTE} SELECT count(DISTINCT a.doc_id)::BIGINT AS n_hits "
         "FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND abs(b.pos - a.pos - 1) <= 1 "
         "WHERE a.term = 'merge' AND b.term = 'window'",
+    ),
+    "engine_sloppy3_count": (
+        _engine_sloppy3_count,
+        # Lucene match existence: exists (pa, pb, pc) with adjusted-position
+        # spread <= slop (greatest - least over pa, pb-1, pc-2)
+        f"{_POS_CTE} SELECT count(DISTINCT a.doc_id)::BIGINT AS n_hits "
+        "FROM pos a JOIN pos b ON a.doc_id = b.doc_id "
+        "JOIN pos c ON a.doc_id = c.doc_id "
+        "WHERE a.term = 'merge' AND b.term = 'window' AND c.term = 'batch' "
+        "AND greatest(a.pos, b.pos - 1, c.pos - 2)"
+        " - least(a.pos, b.pos - 1, c.pos - 2) <= 2",
     ),
     "engine_multi_phrase_count": (
         _engine_multi_phrase_count,

@@ -115,8 +115,11 @@ def term_query(t: str) -> dict:
     return {"type": "term", "term": t}
 
 
-def phrase_query(terms, slop: int = 0) -> dict:
-    return {"type": "phrase", "terms": list(terms), "slop": int(slop)}
+def phrase_query(terms, slop: int = 0, slop_mode: str | None = None) -> dict:
+    q = {"type": "phrase", "terms": list(terms), "slop": int(slop)}
+    if slop_mode:
+        q["slop_mode"] = slop_mode  # 'lucene' = exact SloppyPhraseScorer
+    return q
 
 
 def multi_phrase_query(slots, slop: int = 0) -> dict:
@@ -217,19 +220,36 @@ def oracle_search(
         idf_q = np.float32(0.0)
         for t in uniq:  # ascending-term order (pinned)
             idf_q = np.float32(idf_q + sim.idf(len(idx.postings[t][0])))
+        lucene_mode = q.get("slop_mode") == "lucene"
+        if lucene_mode:
+            from lucene_rust_spark.search.sloppy import (
+                check_no_repeats,
+                lucene_sloppy_freq,
+            )
+
+            check_no_repeats(slots)
         hit_i, freqs = [], []
         for i in cand:
             toks = tokenize(idx.contents[int(i)], **(idx.analyzer_opts or {}))
             pos_by_slot = [
                 {j for j, tok in enumerate(toks) if tok in set(s)} for s in slots
             ]
-            freq = 0
-            for p0 in sorted(pos_by_slot[0]):
-                if all(
-                    any(abs(p - (p0 + off)) <= slop for p in pos_by_slot[off])
-                    for off in range(1, len(slots))
-                ):
-                    freq += 1
+            if lucene_mode:
+                freq = lucene_sloppy_freq(
+                    [
+                        np.array(sorted(p - off for p in ps), dtype=np.int64)
+                        for off, ps in enumerate(pos_by_slot)
+                    ],
+                    slop,
+                )
+            else:
+                freq = 0
+                for p0 in sorted(pos_by_slot[0]):
+                    if all(
+                        any(abs(p - (p0 + off)) <= slop for p in pos_by_slot[off])
+                        for off in range(1, len(slots))
+                    ):
+                        freq += 1
             if freq:
                 hit_i.append(int(i))
                 freqs.append(freq)
@@ -237,7 +257,8 @@ def oracle_search(
             return []
         hi = np.array(hit_i, dtype=np.int64)
         scores = sim.score(
-            np.array(freqs, dtype=np.int64), idx.dlq[hi],
+            np.array(freqs, dtype=np.float32 if lucene_mode else np.int64),
+            idx.dlq[hi],
             np.full(len(hi), idf_q, dtype=np.float32),
         )
         return _rank(idx.doc_ids[hi], scores, k, search_after)

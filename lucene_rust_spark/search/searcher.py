@@ -284,35 +284,17 @@ class IndexSearcher:
             return [sorted(set(s)) for s in query["slots"]]
         return [[t] for t in query["terms"]]
 
-    def _phrase_freq(self, query: dict) -> DataFrame | None:
-        """(doc_id, freq, dlq) of phrase matches — Exact/SloppyPhraseMatcher
-        shape (clt/search/mod.rs:42,99,137 [stub]): intersect at the DOC
-        level first (cheap docs-only decode, no positions), then
-        position-chain only within candidate docs. Without the doc-level
-        pre-join, a common-term phrase shuffles the full position stream of
-        every term through every chain join — the 100x-scale killer the
-        round-1 audit flagged.
-
-        Pinned slop semantics (FIXTURES.md; Lucene's sloppy matcher is an
-        edit-distance machine — we pin the displacement-window form, exact
-        for 2-term phrases and a documented superset for longer ones): an
-        anchor position p0 of slot 0 matches iff every slot i has some
-        position p_i of any of its terms with |p_i - (p0 + i)| <= slop;
-        freq = number of matching anchors. slop=0 is exact adjacency.
-        Returns None when any slot has no indexed term."""
-        slop = int(query.get("slop", 0) or 0)
-        slots = self._phrase_slots(query)
+    def _phrase_candidates_pos(self, slots: list[list[str]], stats: dict) -> DataFrame:
+        """Candidate-filtered positions frame (term, doc_id, pos, dlq) for
+        phrase matching — doc-level pruning BEFORE touching positions. The
+        downstream matchers enforce exact slot coverage, so any SUPERSET of
+        the true candidate set is correct: when the rarest slot is small,
+        decode its doc set on the driver and push a JVM InSet filter (no
+        python stage, no broadcast exchange); otherwise compute the full
+        slot conjunction. Without this pre-join, a common-term phrase
+        shuffles the full position stream of every term through every
+        chain join — the 100x-scale killer the round-1 audit flagged."""
         uniq = sorted({t for s in slots for t in s})
-        stats = self.term_stats(uniq)
-        slots = [[t for t in s if t in stats] for s in slots]
-        if any(not s for s in slots):
-            return None
-        uniq = sorted({t for s in slots for t in s})
-        # doc-level pruning before touching positions. The chain joins below
-        # enforce exact slot coverage, so any SUPERSET of the true candidate
-        # set is correct — when the rarest slot is small, decode its doc set
-        # on the driver and push a JVM InSet filter (no python stage, no
-        # broadcast exchange); otherwise compute the full slot conjunction.
         rare_slot = min(slots, key=lambda s: sum(stats[t]["doc_freq"] for t in s))
         rare_total = sum(stats[t]["doc_freq"] for t in rare_slot)
         if rare_total <= 20_000:
@@ -337,6 +319,74 @@ class IndexSearcher:
             if rare_total <= 1_000_000:
                 cand = F.broadcast(cand)
             pos = self._positions(uniq).join(cand, "doc_id", "left_semi").persist()
+        return pos
+
+    def _phrase_freq_lucene(self, query: dict) -> DataFrame | None:
+        """(doc_id, freq double, dlq) under EXACT Lucene sloppy semantics
+        (clt/search/mod.rs:137; the SloppyPhraseScorer pq algorithm): freq
+        = sum of 1/(1+matchLength) over locally-minimal windows of adjusted
+        positions with spread <= slop. Runs the shared sloppy.py kernel per
+        candidate doc inside applyInPandas — candidates are already pruned
+        to docs covering every slot, so the grouped stage is small."""
+        from lucene_rust_spark.search.sloppy import (
+            check_no_repeats,
+            sloppy_freqs_for_doc,
+        )
+
+        slop = int(query.get("slop", 0) or 0)
+        slots = self._phrase_slots(query)
+        uniq = sorted({t for s in slots for t in s})
+        stats = self.term_stats(uniq)
+        slots = [[t for t in s if t in stats] for s in slots]
+        if any(not s for s in slots):
+            return None
+        check_no_repeats(slots)
+        pos = self._phrase_candidates_pos(slots, stats)
+
+        def per_doc(pdf):
+            freq = sloppy_freqs_for_doc(
+                pdf["term"].to_numpy(), pdf["pos"].to_numpy(np.int64), slots, slop
+            )
+            if freq <= 0.0:
+                return pd.DataFrame({"doc_id": [], "freq": [], "dlq": []})
+            return pd.DataFrame(
+                {
+                    "doc_id": [int(pdf["doc_id"].iloc[0])],
+                    "freq": [float(freq)],
+                    "dlq": [int(pdf["dlq"].max())],
+                }
+            )
+
+        out = pos.groupBy("doc_id").applyInPandas(
+            per_doc, schema="doc_id long, freq double, dlq int"
+        )
+        self._scratch(pos)
+        return out
+
+    def _phrase_freq(self, query: dict) -> DataFrame | None:
+        """(doc_id, freq, dlq) of phrase matches — Exact/SloppyPhraseMatcher
+        shape (clt/search/mod.rs:42,99,137 [stub]): intersect at the DOC
+        level first (cheap docs-only decode, no positions), then
+        position-chain only within candidate docs. Without the doc-level
+        pre-join, a common-term phrase shuffles the full position stream of
+        every term through every chain join — the 100x-scale killer the
+        round-1 audit flagged.
+
+        Pinned slop semantics (FIXTURES.md; Lucene's sloppy matcher is an
+        edit-distance machine — we pin the displacement-window form, exact
+        for 2-term phrases and a documented superset for longer ones): an
+        anchor position p0 of slot 0 matches iff every slot i has some
+        position p_i of any of its terms with |p_i - (p0 + i)| <= slop;
+        freq = number of matching anchors. slop=0 is exact adjacency.
+        Returns None when any slot has no indexed term."""
+        slop = int(query.get("slop", 0) or 0)
+        slots = self._phrase_slots(query)
+        uniq = sorted({t for s in slots for t in s})
+        stats = self.term_stats(uniq)
+        slots = [[t for t in s if t in stats] for s in slots]
+        if any(not s for s in slots):
+            return None
+        pos = self._phrase_candidates_pos(slots, stats)
         chain = (
             pos.filter(F.col("term").isin(slots[0]))
             .select("doc_id", F.col("pos").alias("p0"), "dlq")
@@ -366,8 +416,14 @@ class IndexSearcher:
     def _phrase_hits(self, query: dict) -> DataFrame:
         """PhraseQuery / MultiPhraseQuery (clt/search/mod.rs:101,93 [stub];
         Lucene semantics): tf = phrase_freq; idf = float32 sum of per-term
-        idfs in ascending-term order over the distinct terms."""
-        freq = self._phrase_freq(query)
+        idfs in ascending-term order over the distinct terms. The default
+        freq is the pinned displacement-window anchor count (integer);
+        slop_mode='lucene' uses the exact SloppyPhraseScorer float freq
+        (sum of 1/(1+matchLength), sloppy.py)."""
+        lucene_mode = query.get("slop_mode") == "lucene"
+        freq = (
+            self._phrase_freq_lucene(query) if lucene_mode else self._phrase_freq(query)
+        )
         if freq is None:
             return self._empty_result()
         uniq = sorted({t for s in self._phrase_slots(query) for t in s})
@@ -377,13 +433,14 @@ class IndexSearcher:
         for t in uniq:
             idf_q = np.float32(idf_q + np.float32(stats[t]["idf"]))
         sim = self.sim
+        tf_dtype = np.float32 if lucene_mode else np.int64
 
         def score_kernel(batches):
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 sc = sim.score(
-                    pdf["freq"].to_numpy(np.int64),
+                    pdf["freq"].to_numpy(tf_dtype),
                     pdf["dlq"].to_numpy(np.int64),
                     np.full(len(pdf), idf_q, dtype=np.float32),
                 )
@@ -514,7 +571,11 @@ class IndexSearcher:
         if qt == "synonym":
             return self._matching_docs(sorted(set(query["terms"])))
         if qt in ("phrase", "multi_phrase"):
-            freq = self._phrase_freq(query)
+            freq = (
+                self._phrase_freq_lucene(query)
+                if query.get("slop_mode") == "lucene"
+                else self._phrase_freq(query)
+            )
             return freq.select("doc_id") if freq is not None else self._empty_docs()
 
         must, should, must_not, msm = query_terms(query)
@@ -597,17 +658,29 @@ class IndexSearcher:
             cand = td.filter(F.col("term").startswith(lit_prefix)) if lit_prefix else td
 
         qq = {k_: v for k_, v in q.items() if k_ != "boost"}
+        cap = MAX_CLAUSE_COUNT + 1
 
-        def kern(batches, _q=qq):
+        def kern(batches, _q=qq, _cap=cap):
+            # per-partition cap: once any partition has emitted cap matches
+            # the query is over the clause limit anyway, so never ship more
+            # than cap rows per partition to the driver — a broad range
+            # query fails fast instead of collecting the whole vocabulary
+            left = _cap
             for pdf in batches:
+                if left <= 0:
+                    return
                 hit = match_candidates(_q, pdf["term"].tolist())
                 if hit:
+                    hit = hit[:left]
+                    left -= len(hit)
                     yield pd.DataFrame({"term": hit})
 
-        names = [
-            r["term"]
-            for r in cand.select("term").mapInPandas(kern, schema="term string").collect()
-        ]
+        expanded = cand.select("term").mapInPandas(kern, schema="term string").limit(cap)
+        names = [r["term"] for r in expanded.collect()]
+        if len(names) > MAX_CLAUSE_COUNT:
+            raise ValueError(
+                f"too many expansions: > {MAX_CLAUSE_COUNT} (TooManyClauses)"
+            )
         return match_terms(q, sorted(names))
 
     # -- search ---------------------------------------------------------------

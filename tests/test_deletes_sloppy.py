@@ -332,3 +332,94 @@ def test_append_keeps_terms_schema_and_ordinals(spark, tmp_path):
     pdf = t.select("term", "ordinal").toPandas().sort_values("term").reset_index(drop=True)
     assert (pdf["ordinal"].to_numpy() == np.arange(len(pdf))).all()
     src.unpersist()
+
+
+# --- exact Lucene sloppy semantics (slop_mode='lucene') ------------------------
+
+
+def test_lucene_sloppy_freq_kernel():
+    """Kernel invariants against brute force: a match exists iff some
+    per-slot choice of adjusted positions has spread <= slop, and slop=0
+    freq equals the exact-adjacency occurrence count."""
+    import itertools
+    import random
+
+    from lucene_rust_spark.search.sloppy import lucene_sloppy_freq
+
+    rng = random.Random(7)
+    for trial in range(300):
+        n_slots = rng.randint(2, 4)
+        slots = [
+            np.array(sorted(rng.sample(range(12), rng.randint(1, 4))), dtype=np.int64)
+            for _ in range(n_slots)
+        ]
+        slop = rng.randint(0, 3)
+        freq = lucene_sloppy_freq(slots, slop)
+        exists = any(
+            max(c) - min(c) <= slop for c in itertools.product(*[a.tolist() for a in slots])
+        )
+        assert (freq > 0) == exists, (slots, slop, freq)
+        if slop == 0:
+            exact = sum(
+                1
+                for c in itertools.product(*[a.tolist() for a in slots])
+                if max(c) == min(c)
+            )
+            assert freq == exact, (slots, freq, exact)
+
+
+def test_lucene_sloppy_tighter_than_pinned():
+    """The documented divergence: 3 slots where every slot is within slop
+    of the anchor but the total spread exceeds slop — pinned displacement
+    window matches, Lucene does not."""
+    from lucene_rust_spark.search.sloppy import lucene_sloppy_freq
+
+    # adjusted positions: slot0 at 10, slot1 at 12, slot2 at 8; slop = 2
+    # pinned: |12-10|<=2 and |8-10|<=2 -> anchor matches
+    # lucene: spread = 12-8 = 4 > 2 -> no match
+    slots = [np.array([10]), np.array([12]), np.array([8])]
+    assert lucene_sloppy_freq(slots, 2) == 0.0
+    assert lucene_sloppy_freq(slots, 4) > 0.0
+
+
+def _common_distinct_bigram(oracle_idx):
+    """Most common bigram whose two tokens differ (repeats unsupported in
+    slop_mode='lucene')."""
+    from collections import Counter
+
+    from lucene_rust_spark.functions.analysis import tokenize
+
+    c = Counter()
+    for text in oracle_idx.contents[:200]:
+        toks = tokenize(text)
+        c.update((x, y) for x, y in zip(toks, toks[1:]) if x != y)
+    (a, b), _n = c.most_common(1)[0]
+    return [a, b]
+
+
+def test_lucene_sloppy_rank_identity(pos_searcher, pos_oracle):
+    """Engine slop_mode='lucene' == oracle running the same shared kernel,
+    float32 score identity, for a 3-term sloppy phrase."""
+    from lucene_rust_spark.oracle.bm25 import oracle_search, phrase_query
+
+    a, b = _common_distinct_bigram(pos_oracle)
+    third = "value" if "value" not in (a, b) else "token"
+    for slop in (0, 1, 2, 3):
+        q = phrase_query([a, b, third], slop=slop, slop_mode="lucene")
+        got = pos_searcher.search(q, k=20)
+        want = oracle_search(pos_oracle, q, k=20)
+        assert [d for d, _ in got] == [d for d, _ in want], (slop, got, want)
+        assert all(
+            np.float32(x) == np.float32(y) for (_, x), (_, y) in zip(got, want)
+        )
+    # 2-term: lucene and pinned agree on the MATCH SET (both exact there)
+    q_l = phrase_query([a, b], slop=2, slop_mode="lucene")
+    q_p = phrase_query([a, b], slop=2)
+    assert pos_searcher.count(q_l) == pos_searcher.count(q_p)
+
+
+def test_lucene_sloppy_repeats_raise(pos_searcher):
+    from lucene_rust_spark.oracle.bm25 import phrase_query
+
+    with pytest.raises(NotImplementedError):
+        pos_searcher.count(phrase_query(["merge", "merge"], slop=1, slop_mode="lucene"))

@@ -50,11 +50,26 @@ def test_alt_similarities(spark, t1_index, oracle_idx, sim):
         assert s.search(q, 10) == oracle_search(oracle_idx, q, 10, similarity=sim)
 
 
-def test_expansion_cap(searcher):
+def test_expansion_cap(searcher, monkeypatch):
+    """A vocabulary-sized expansion must raise TooManyClauses AND ship at
+    most cap+1 rows to the driver — the cap lives inside the kernel +
+    limit(), so a broad range query over a 100-TB dictionary fails fast
+    instead of collecting the vocabulary (clt/search/index_searcher.rs:1)."""
     from lucene_rust_spark.search.rewrite import MAX_EXPANSIONS
 
+    cls = type(searcher.terms)  # the concrete DataFrame class in use
+    shipped = {}
+    orig = cls.collect
+
+    def spy(self):
+        out = orig(self)
+        shipped["n"] = len(out)
+        return out
+
+    monkeypatch.setattr(cls, "collect", spy)
     with pytest.raises(ValueError):
         searcher.search({"type": "range", "lo": None, "hi": None}, 5)  # all terms
+    assert shipped["n"] <= MAX_EXPANSIONS + 1
 
 
 def test_phrase_query(spark, tmp_path_factory):
