@@ -231,6 +231,80 @@ class DFIStandardized(Similarity):
         return np.log2(np.maximum(m + np.float32(1.0), np.float32(1.0))).astype(np.float32)
 
 
+class AxiomaticF2EXP(Similarity):
+    """Axiomatic F2EXP (Fang & Zhai's axiomatic retrieval framework;
+    Lucene ships it as AxiomaticF2EXP, the Axiomatic family default;
+    reference surface clt/search/similarities/mod.rs:1-46 [stub]).
+    Pinned (s=0.5, k=0.35):
+        score = ((N + 1) / df)^k * tf / (tf + s + s * dl / avgdl)
+    dl = SmallFloat-decoded norm; all float32, pinned op order."""
+
+    name = "ax_f2exp"
+    S = np.float32(0.5)
+    KEXP = np.float32(0.35)  # not 'K': that names the kernels module here
+
+    def __init__(self, doc_count: int, sum_ttf: int):
+        super().__init__(doc_count, sum_ttf)
+        self.dl_cache = K.byte4_to_int(np.arange(256)).astype(np.float32)
+
+    def idf(self, doc_freq: int) -> np.float32:
+        return np.float32(
+            np.power(np.float64(self.doc_count + 1) / np.float64(doc_freq), np.float64(self.KEXP))
+        )
+
+    def score(self, tf, dlq, idf):
+        dl = self.dl_cache[np.asarray(dlq, dtype=np.int64) & 0xFF]
+        tf32 = tf.astype(np.float32)
+        denom = tf32 + self.S + self.S * dl / self.avgdl
+        return (idf.astype(np.float32) * (tf32 / denom)).astype(np.float32)
+
+
+class MultiSimilarity(Similarity):
+    """Averaging wrapper (Lucene MultiSimilarity; reference surface
+    clt/search/similarities/mod.rs:1-46 [stub]): score = arithmetic mean
+    of the sub-similarities' scores, float32.
+
+    The scoring pipeline carries exactly ONE float32 per-term statistic
+    from the driver-side stats gather into the decode kernels, so
+    weight() interns each (per-sub weight) tuple in a registry and
+    returns its id — exact through a float32 round trip for ids < 2^24.
+    The registry is populated driver-side (term_stats runs before any
+    kernel closure is pickled), so executors see a consistent snapshot.
+    Phrase/dismax paths sum raw idfs and are NOT defined for this
+    wrapper — idf() raises."""
+
+    name = "multi"
+    SUBS = ("bm25", "classic")
+
+    def __init__(self, doc_count: int, sum_ttf: int):
+        super().__init__(doc_count, sum_ttf)
+        self.subs = [get_similarity(s, doc_count, sum_ttf) for s in self.SUBS]
+        self._registry: list[tuple] = []
+
+    def idf(self, doc_freq: int) -> np.float32:
+        raise NotImplementedError(
+            "MultiSimilarity carries per-sub weights; phrase/dismax idf "
+            "summation is undefined for the averaging wrapper"
+        )
+
+    def weight(self, doc_freq: int, total_term_freq: int) -> np.float32:
+        w = tuple(
+            np.float32(s.weight(doc_freq, total_term_freq)) for s in self.subs
+        )
+        self._registry.append(w)
+        return np.float32(len(self._registry) - 1)
+
+    def score(self, tf, dlq, idf):
+        ids = np.asarray(idf, dtype=np.int64)
+        acc = np.zeros(len(tf), dtype=np.float32)
+        for j, s in enumerate(self.subs):
+            w = np.fromiter(
+                (self._registry[i][j] for i in ids), dtype=np.float32, count=len(ids)
+            )
+            acc = (acc + s.score(tf, dlq, w)).astype(np.float32)
+        return (acc / np.float32(len(self.subs))).astype(np.float32)
+
+
 SIMILARITIES = {
     "bm25": BM25,
     "classic": ClassicTFIDF,
@@ -240,6 +314,8 @@ SIMILARITIES = {
     "dfr_inl2": DFRInL2,
     "ib_ll": IBLogLogistic,
     "dfi": DFIStandardized,
+    "ax_f2exp": AxiomaticF2EXP,
+    "multi": MultiSimilarity,
 }
 
 

@@ -38,7 +38,9 @@ def test_query_type_rank_identity(searcher, oracle_idx, q):
 
 
 @pytest.mark.parametrize(
-    "sim", ["classic", "boolean", "lmd", "lmjm", "dfr_inl2", "ib_ll", "dfi"]
+    "sim",
+    ["classic", "boolean", "lmd", "lmjm", "dfr_inl2", "ib_ll", "dfi",
+     "ax_f2exp", "multi"],
 )
 def test_alt_similarities(spark, t1_index, oracle_idx, sim):
     from lucene_rust_spark.search.searcher import IndexSearcher
@@ -216,3 +218,28 @@ def test_search_by_field_missing_values(spark, tmp_path):
     assert desc_last["lang"].isna()[:4].all()
     langs = desc_last["lang"].dropna().tolist()
     assert langs == sorted(langs, reverse=True)
+
+
+def test_multi_similarity_is_mean_of_subs(spark, t1_index, oracle_idx):
+    """MultiSimilarity = float32 arithmetic mean of its sub-scores, checked
+    doc-by-doc against separately-run bm25 and classic searches."""
+    import numpy as np
+
+    from lucene_rust_spark.search.searcher import IndexSearcher
+
+    out, _ = t1_index
+    q = term_query("token")
+    full_k = 50
+    sub = {}
+    for name in ("bm25", "classic"):
+        s = IndexSearcher(spark, out, similarity=name)
+        sub[name] = dict(s.search(q, k=full_k))
+    sm = IndexSearcher(spark, out, similarity="multi")
+    got = sm.search(q, k=20)
+    assert len(got) == 20
+    for d, sc in got:
+        want = np.float32(
+            (np.float32(0.0) + np.float32(sub["bm25"][d]) + np.float32(sub["classic"][d]))
+            / np.float32(2.0)
+        )
+        assert np.float32(sc) == want, (d, sc, want)
