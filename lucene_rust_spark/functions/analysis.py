@@ -25,6 +25,47 @@ MAX_TOKEN_LENGTH = 255  # StandardAnalyzer DEFAULT_MAX_TOKEN_LENGTH
 
 _TOKEN_RE = re.compile(r"\w+", re.UNICODE)
 
+
+def _build_uax29_re():
+    """UAX#29 word-break tokenizer (clt/analysis/standard/
+    standard_tokenizer.rs:1 [stub]; the Lucene StandardTokenizerImpl JFlex
+    grammar re-expressed over the `regex` module's Word_Break property
+    classes). Each base class absorbs trailing Extend/Format/ZWJ (WB4);
+    letters join across MidLetter/MidNumLet/Single_Quote (WB6-7), numerics
+    across MidNum/MidNumLet/Single_Quote (WB11-12), letter<->number
+    directly (WB9-10), Katakana runs (WB13), and ExtendNumLet (incl. '_')
+    glues segments (WB13a-b). CJK ideographs and Hiragana emit one token
+    per char (Lucene's IDEOGRAPHIC/HIRAGANA rule)."""
+    import regex
+
+    fe = "[\\p{Word_Break=Extend}\\p{Word_Break=Format}\\u200D]*"
+    al = r"[\p{Word_Break=ALetter}\p{Word_Break=Hebrew_Letter}]" + fe
+    nu = r"\p{Word_Break=Numeric}" + fe
+    ex = r"\p{Word_Break=ExtendNumLet}" + fe
+    ka = r"\p{Word_Break=Katakana}" + fe
+    ml = r"[\p{Word_Break=MidLetter}\p{Word_Break=MidNumLet}\p{Word_Break=Single_Quote}]" + fe
+    mn = r"[\p{Word_Break=MidNum}\p{Word_Break=MidNumLet}\p{Word_Break=Single_Quote}]" + fe
+    letter_seq = f"(?:{al})+(?:(?:{ml})(?:{al})+)*"
+    num_seq = f"(?:{nu})+(?:(?:{mn})(?:{nu})+)*"
+    seg = f"(?:{letter_seq}|{num_seq}|(?:{ka})+)"
+    word = f"(?:{ex})*{seg}(?:(?:{ex})*{seg})*(?:{ex})*"
+    ideo = r"[\p{Ideographic}\p{Script=Hiragana}]" + fe
+    return regex.compile(f"{word}|{ideo}")
+
+
+_UAX29_RE = None  # built lazily: the regex module compile is not free
+
+
+def _token_pattern(word_break: str):
+    global _UAX29_RE
+    if word_break == "uax29":
+        if _UAX29_RE is None:
+            _UAX29_RE = _build_uax29_re()
+        return _UAX29_RE
+    if word_break in (None, "simple"):
+        return _TOKEN_RE
+    raise ValueError(f"unknown word_break: {word_break!r} (simple | uax29)")
+
 # Lucene EnglishAnalyzer.ENGLISH_STOP_WORDS_SET (public constant) — wired
 # but OFF by default (FIXTURES.md pins the no-stopword analyzer; StopFilter
 # surface: clt/analysis/mod.rs:17, CharArraySet :8)
@@ -46,24 +87,25 @@ def _filter_tokens(raw: list[str], stop_words) -> list[str]:
     return out
 
 
-def tokenize(text: str, stop_words=None, char_filters=None) -> list[str]:
+def tokenize(text: str, stop_words=None, char_filters=None, word_break="simple") -> list[str]:
     """Pinned analyzer: optional CharFilter chain (regex mappings,
-    clt/analysis/mod.rs:9) → \\w+ runs, ≤255 chars, lowercase → optional
-    StopFilter. Deviation from Lucene's StopFilter pinned in FIXTURES.md:
-    positions are post-filter indices (no position-increment gaps) — the
-    oracle and engine share this function, so identity holds. Oracle +
-    engine."""
+    clt/analysis/mod.rs:9) → token runs (word_break='simple' = \\w+, the
+    pinned default; 'uax29' = the UAX#29 word-break grammar), ≤255 chars,
+    lowercase → optional StopFilter. Deviation from Lucene's StopFilter
+    pinned in FIXTURES.md: positions are post-filter indices (no
+    position-increment gaps) — the oracle and engine share this function,
+    so identity holds. Oracle + engine."""
     if not text:
         return []
     if char_filters:
         for pat, repl in char_filters:
             text = re.sub(pat, repl, text)
-    return _filter_tokens(_TOKEN_RE.findall(text), stop_words)
+    return _filter_tokens(_token_pattern(word_break).findall(text), stop_words)
 
 
-def tokenize_series(s: pd.Series, stop_words=None, char_filters=None) -> pd.Series:
+def tokenize_series(s: pd.Series, stop_words=None, char_filters=None, word_break="simple") -> pd.Series:
     """Vectorized batch form used inside pandas UDFs. Order pinned to match
-    tokenize(): find \\w+ runs FIRST, then lowercase each token — lowering
+    tokenize(): find token runs FIRST, then lowercase each token — lowering
     the whole string first changes token boundaries for chars whose
     lowercase form introduces combining marks (e.g. 'İ' → 'i̇', which \\w
     splits), breaking engine↔oracle identity on non-ASCII corpora."""
@@ -71,7 +113,8 @@ def tokenize_series(s: pd.Series, stop_words=None, char_filters=None) -> pd.Seri
     if char_filters:
         for pat, repl in char_filters:
             s = s.str.replace(pat, repl, regex=True)
-    toks = s.str.findall(_TOKEN_RE)
+    pat = _token_pattern(word_break)
+    toks = s.map(pat.findall)
     return toks.map(lambda ts: _filter_tokens(ts, stop_words))
 
 

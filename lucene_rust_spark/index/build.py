@@ -314,13 +314,13 @@ def _pack_partition(batches):
 
 def _count_batch(
     doc_ids: np.ndarray, parts: np.ndarray, content: pd.Series, positions: bool = False,
-    stop_words=None, char_filters=None,
+    stop_words=None, char_filters=None, word_break="simple",
 ):
     """Vectorized per-batch term counting → flat (doc, seg, dlq, code, tf)
     pair arrays + batch vocab. With positions=True also returns the ragged
     per-pair token-position stream (pos_flat sorted ascending within each
     pair, counts == tf give the offsets)."""
-    toks = tokenize_series(content, stop_words=stop_words, char_filters=char_filters)
+    toks = tokenize_series(content, stop_words=stop_words, char_filters=char_filters, word_break=word_break)
     lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
     dl = lens
     dlq = K.int_to_byte4(dl)
@@ -362,7 +362,7 @@ def _count_batch(
     )
 
 
-def _dwpt_partition(batches, positions: bool = False, stop_words=None, char_filters=None, pfor=False):
+def _dwpt_partition(batches, positions: bool = False, stop_words=None, char_filters=None, pfor=False, word_break="simple"):
     """mapInPandas kernel — the DocumentsWriterPerThread analog
     (clt/index/mod.rs:33): this task holds complete segments (docs are
     hash-routed by part), accumulates per-doc term counts across Arrow
@@ -385,7 +385,7 @@ def _dwpt_partition(batches, positions: bool = False, stop_words=None, char_filt
         b_parts = pdf["part"].to_numpy(np.int64)
         docs_b, segs_b, dlqs_b, codes_b, tfs_b, uniques_b, pos_b, dl_b = _count_batch(
             b_doc_ids, b_parts, pdf["content"], positions,
-            stop_words=stop_words, char_filters=char_filters,
+            stop_words=stop_words, char_filters=char_filters, word_break=word_break,
         )
         norm_docs.append(b_doc_ids)
         norm_parts.append(b_parts)
@@ -588,6 +588,7 @@ def build_index(
     stop_words=None,
     char_filters=None,
     codec: str = "for",
+    word_break: str = "simple",
 ) -> dict:
     """Build the full index under out_dir. Returns the committed manifest.
 
@@ -603,6 +604,8 @@ def build_index(
         raise ValueError(
             "positions require analyzer='dwpt' (the jvm path writes no pos stream)"
         )
+    if analyzer == "jvm" and word_break != "simple":
+        raise ValueError("word_break='uax29' requires analyzer='dwpt'")
     t_start = time.time()
     # shuffle_width = physical task fan-out for the heavy stages; decoupled
     # from num_partitions (the logical segment count) so CPU-bound kernel
@@ -624,6 +627,7 @@ def build_index(
             spark, src_for_groups, out_dir, g, num_groups, num_partitions,
             width=width, analyzer=analyzer, positions=positions, resume=resume,
             stop_words=stop_words, char_filters=char_filters, codec=codec,
+            word_break=word_break,
         )
         group_stats.append(gs)
 
@@ -657,6 +661,7 @@ def build_index(
         "format_version": 2,  # v2: per-block competitive impacts (imp_tf/imp_dlq)
         "positions": bool(positions),
         "stop_words": sorted(stop_words) if stop_words else None,
+        "word_break": word_break,
         "char_filters": [list(cf) for cf in char_filters] if char_filters else None,
         "codec": codec,
         "doc_count": doc_count,
@@ -697,6 +702,7 @@ def build_group_job(
     stop_words=None,
     char_filters=None,
     codec: str = "for",
+    word_break: str = "simple",
 ) -> dict:
     """Build exactly one checkpoint group and write its checkpoint — the
     unit of distributed work: independent group-builder processes (or a
@@ -730,6 +736,7 @@ def build_group_job(
     gs = _build_group(
         docs, out_dir, g, num_groups, width, analyzer, positions,
         stop_words=stop_words, char_filters=char_filters, codec=codec,
+        word_break=word_break,
     )
     with open(ck_path + ".tmp", "w") as f:
         json.dump(gs, f)
@@ -765,6 +772,7 @@ def _build_group(
     analyzer: str = "dwpt", positions: bool = False,
     postings_dirname: str = "postings",
     stop_words=None, char_filters=None, codec: str = "for",
+    word_break: str = "simple",
 ) -> dict:
     """Build one checkpoint group from its (pre-filtered) slice of the
     corpus. With the dwpt analyzer the slice's content is read EXACTLY
@@ -844,9 +852,10 @@ def _build_group(
         sw = frozenset(stop_words) if stop_words else None
         cf = tuple(tuple(c) for c in char_filters) if char_filters else None
 
-        def dwpt(batches, _p=positions, _sw=sw, _cf=cf, _pf=(codec == "pfor")):
+        def dwpt(batches, _p=positions, _sw=sw, _cf=cf, _pf=(codec == "pfor"), _wb=word_break):
             return _dwpt_partition(
-                batches, positions=_p, stop_words=_sw, char_filters=_cf, pfor=_pf
+                batches, positions=_p, stop_words=_sw, char_filters=_cf, pfor=_pf,
+                word_break=_wb,
             )
 
         # persist before repartitionByRange: the range sampling pass would

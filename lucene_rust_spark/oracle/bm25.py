@@ -74,7 +74,8 @@ class OracleIndex:
 
 
 def build_oracle_index(
-    df: pd.DataFrame, num_partitions: int, stop_words=None, char_filters=None
+    df: pd.DataFrame, num_partitions: int, stop_words=None, char_filters=None,
+    word_break="simple",
 ) -> OracleIndex:
     df = assign_doc_ids(df, num_partitions)
     doc_ids = df["doc_id"].to_numpy(np.int64)  # sorted by construction
@@ -82,7 +83,7 @@ def build_oracle_index(
     postings: dict[str, tuple[list, list]] = {}
     dl = np.zeros(len(df), dtype=np.int64)
     for i, text in enumerate(df["content"]):
-        toks = tokenize(text, stop_words=stop_words, char_filters=char_filters)
+        toks = tokenize(text, stop_words=stop_words, char_filters=char_filters, word_break=word_break)
         dl[i] = len(toks)
         counts: dict[str, int] = {}
         for t in toks:
@@ -104,7 +105,8 @@ def build_oracle_index(
         sum_ttf=int(dl.sum()),
         meta=df[["doc_id", "repo", "path", "commit", "lang"]],
         contents=df["content"].tolist(),
-        analyzer_opts={"stop_words": stop_words, "char_filters": char_filters},
+        analyzer_opts={"stop_words": stop_words, "char_filters": char_filters,
+                       "word_break": word_break},
     )
 
 

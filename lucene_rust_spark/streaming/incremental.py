@@ -56,6 +56,7 @@ def append_batch(
         docs, index_dir, g, 1, width,
         positions=bool(m.get("positions")),
         postings_dirname=m.get("postings_dir", "postings"),
+        word_break=m.get("word_break", "simple"),
     )
 
     # drop a possibly-stale record of this epoch (idempotent replay)

@@ -234,3 +234,58 @@ def test_pfor_positions_build_phrase(spark, tmp_path):
     q = phrase_query(["alpha", "beta"], slop=0)
     assert sp.search(q, 10) == sf.search(q, 10)
     assert sp.count(q) == sf.count(q) > 0
+
+
+def test_uax29_build_rank_identity(spark, tmp_path):
+    """Engine built with word_break='uax29' == oracle with the same
+    analyzer on a non-ASCII corpus (apostrophes, number separators,
+    Turkish İ, CJK) — rank + float32 score identity, including a phrase
+    whose tokens only exist under UAX#29 joining."""
+    import pandas as pd
+
+    from lucene_rust_spark.index.build import build_index
+    from lucene_rust_spark.oracle.bm25 import (
+        bool_query,
+        build_oracle_index,
+        oracle_search,
+        phrase_query,
+        term_query,
+    )
+    from lucene_rust_spark.search.searcher import IndexSearcher
+
+    texts = [
+        "can't stop the merge won't retry",
+        "İstanbul lowering keeps one token can't",
+        "pi is 3.14 and big is 1,000,000 can't argue",
+        "漢字 tokens split per char カタカナ run intact",
+        "foo.bar joins under uax29 can't split",
+        "plain ascii merge window tokens here",
+    ] * 30
+    rows = [
+        (f"r{i % 3}", f"p/{i:04d}", "c0", "xx", texts[i % len(texts)] + f" uniq_{i}")
+        for i in range(180)
+    ]
+    pdf = pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+    out = str(tmp_path / "uax")
+    build_index(
+        spark, spark.createDataFrame(pdf), out,
+        num_partitions=4, positions=True, word_break="uax29",
+    )
+    oidx = build_oracle_index(pdf, 4, word_break="uax29")
+    s = IndexSearcher(spark, out, cache=True)
+    assert s.manifest["word_break"] == "uax29"
+    assert s.term_stats(["can't"])["can't"]["doc_freq"] > 0
+    assert "3.14" in s.term_stats(["3.14"])  # joined numeric survives
+    for q in [
+        term_query("can't"),
+        term_query("漢"),
+        term_query("3.14"),
+        bool_query(should=["can't", "merge", "i̇stanbul"]),
+        phrase_query(["can't", "stop"]),
+    ]:
+        got = s.search(q, 10)
+        want = oracle_search(oidx, q, 10)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        assert all(
+            np.float32(a) == np.float32(b) for (_, a), (_, b) in zip(got, want)
+        ), q

@@ -205,3 +205,35 @@ def test_pfor_pack_roundtrip_and_savings():
     for v in ([], [0], [7], [0, 1 << 50], list(range(128))):
         a = np.array(v, dtype=np.uint64)
         assert (K.for_unpack(K.pfor_pack(a), len(a)) == a).all()
+
+
+def test_uax29_tokenizer_goldens():
+    """UAX#29 word-break option: joins across MidLetter/MidNum/
+    Single_Quote and ExtendNumLet, per-char CJK, tokenize-then-lower
+    order preserved for the İ combining-mark case."""
+    from lucene_rust_spark.functions.analysis import tokenize
+
+    cases = {
+        "can't stop won't": ["can't", "stop", "won't"],
+        "3.14 1,000,000": ["3.14", "1,000,000"],
+        "a_b x_1_y": ["a_b", "x_1_y"],
+        "foo.bar colon:sep semi;colon": ["foo.bar", "colon:sep", "semi", "colon"],
+        "O’Neil": ["o’neil"],
+        "カタカナ run": ["カタカナ", "run"],
+        "漢字": ["漢", "字"],
+        "İstanbul": ["i̇stanbul"],  # single token, lowered AFTER split
+        "café naïve": ["café", "naïve"],
+    }
+    for text, want in cases.items():
+        assert tokenize(text, word_break="uax29") == want, text
+    # simple mode unchanged
+    assert tokenize("can't") == ["can", "t"]
+    # batch form identical to scalar
+    import pandas as pd
+
+    from lucene_rust_spark.functions.analysis import tokenize_series
+
+    texts = list(cases)
+    assert tokenize_series(pd.Series(texts), word_break="uax29").tolist() == [
+        tokenize(t, word_break="uax29") for t in texts
+    ]
