@@ -313,6 +313,40 @@ def _engine_field_lang_count(spark, sf_dir):
     )
 
 
+def _engine_snippets(spark, sf_dir):
+    """Offsets postings flag end-to-end (postings_enum.rs:63-67 + the
+    UnifiedHighlighter offsets strategy): every 'merge' doc's FIRST
+    occurrence char offsets decoded from the index, snippet cut from the
+    stored text with one JVM substring. The documents text is single-space
+    [a-z0-9_ ] so the DuckDB instr oracle computes the same offsets."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lucene_rust_spark.entry_helpers import doc_id_from_path, gate_searcher
+
+    s = gate_searcher(spark, sf_dir)
+    first = (
+        s.term_offsets(["merge"])
+        .groupBy("doc_id")
+        .agg(F.min(F.struct("start", "end")).alias("fo"))
+        .select("doc_id", F.col("fo.start").alias("start"), F.col("fo.end").alias("end"))
+    )
+    mapped = doc_id_from_path(s.fetch(first)).select(
+        F.col("orig_doc_id").alias("doc_id"), "start", "end"
+    )
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    j = mapped.join(docs, "doc_id")
+    snip = F.substring(
+        "text",
+        (F.greatest(F.col("start") - 30, F.lit(0)) + 1).cast("int"),
+        (F.col("end") - F.col("start") + 60).cast("int"),
+    )
+    return j.select("doc_id", "start", "end", snip.alias("snippet"))
+
+
 def _engine_topk_by_field(spark, sf_dir):
     """TopFieldCollector (clt/search/mod.rs:157) through the engine: the
     'merge' match set ordered by stored docmap fields (lang asc, path
@@ -439,6 +473,16 @@ _ENGINE_QUERIES = {
     "engine_field_lang_count": (
         _engine_field_lang_count,
         "SELECT count(*)::BIGINT AS n_hits FROM documents WHERE lang = 'en'",
+    ),
+    "engine_snippets": (
+        _engine_snippets,
+        # text is single-space-joined [a-z0-9_] tokens, so the padded
+        # instr finds the first token-boundary occurrence: 1-based i of
+        # the leading pad space => 0-based char start = i - 1
+        "WITH m AS (SELECT doc_id, text, instr(' ' || text || ' ', ' merge ') AS i "
+        "FROM documents WHERE instr(' ' || text || ' ', ' merge ') > 0) "
+        "SELECT doc_id, (i - 1)::BIGINT AS start, (i + 4)::BIGINT AS \"end\", "
+        "substr(text, greatest(i - 31, 0) + 1, 65) AS snippet FROM m",
     ),
     "engine_topk_by_field": (
         _engine_topk_by_field,

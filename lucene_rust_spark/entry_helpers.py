@@ -49,9 +49,13 @@ def gate_searcher(spark: SparkSession, sf_dir: str):
         m is None
         or m.get("format_version", 1) < 2
         or not m.get("positions")
+        or not m.get("offsets")
         or m.get("content_sha256_xor") != src_xor
     ):
-        build_index(spark, src, out, num_partitions=8, resume=False, positions=True)
+        build_index(
+            spark, src, out, num_partitions=8, resume=False,
+            positions=True, offsets=True,
+        )
     s = IndexSearcher(spark, out, cache=True)
     _SEARCHERS[key] = s
     return s

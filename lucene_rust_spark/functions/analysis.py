@@ -118,6 +118,37 @@ def tokenize_series(s: pd.Series, stop_words=None, char_filters=None, word_break
     return toks.map(lambda ts: _filter_tokens(ts, stop_words))
 
 
+def tokenize_spans(text: str, stop_words=None, char_filters=None, word_break="simple"):
+    """[(token_lower, start, end)] — same token stream as tokenize() plus
+    char offsets (postings_enum.rs:63-67 Offsets flag). Offsets index into
+    the CHAR-FILTERED text (no offset correction across CharFilters —
+    pinned deviation from Lucene's correctOffset)."""
+    if not text:
+        return []
+    if char_filters:
+        for pat, repl in char_filters:
+            text = re.sub(pat, repl, text)
+    out = []
+    for m in _token_pattern(word_break).finditer(text):
+        t = m.group()
+        if len(t) > MAX_TOKEN_LENGTH:
+            continue
+        lt = t.lower()
+        if stop_words and lt in stop_words:
+            continue
+        out.append((lt, m.start(), m.end()))
+    return out
+
+
+def tokenize_spans_series(s: pd.Series, stop_words=None, char_filters=None, word_break="simple") -> pd.Series:
+    """Batch form of tokenize_spans: Series of [(token, start, end)]."""
+    return s.fillna("").map(
+        lambda x: tokenize_spans(
+            x, stop_words=stop_words, char_filters=char_filters, word_break=word_break
+        )
+    )
+
+
 def term_counts_series(s: pd.Series) -> pd.Series:
     """Batch: text -> list[(term, tf)] — the map-side partial aggregate
     (the TermsHash/FreqProxTermsWriter analog, clt/index/mod.rs:57-59).

@@ -39,7 +39,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from lucene_rust_spark.functions import kernels as K
-from lucene_rust_spark.functions.analysis import tokenize_series
+from lucene_rust_spark.functions.analysis import tokenize_series, tokenize_spans_series
 from lucene_rust_spark.index.manifest import commit_manifest, read_manifest
 
 PARTITION_SHIFT = 40
@@ -172,7 +172,8 @@ def _flatten_postings(batches):
 _BLOCK_SCHEMA = (
     "term string, seg int, block_no int, n int, first_doc long, last_doc long, "
     "max_tf int, min_dlq int, sum_tf long, docs_bin binary, tfs_bin binary, "
-    "dlq_bin binary, pos_bin binary, imp_tf array<int>, imp_dlq array<int>"
+    "dlq_bin binary, pos_bin binary, offs_bin binary, olen_bin binary, "
+    "imp_tf array<int>, imp_dlq array<int>"
 )
 
 
@@ -196,6 +197,7 @@ def block_impacts(tfs: np.ndarray, dlqs: np.ndarray) -> tuple[list[int], list[in
 def _pack_runs(
     term_arr, seg_arr, docs, tfs, dlqs, term_values=None,
     pos_flat=None, pos_offsets=None, pfor=False,
+    off_start_flat=None, off_len_flat=None,
 ) -> pd.DataFrame | None:
     """Vectorized block packing for a (term, seg, doc_id)-sorted slice that
     contains only COMPLETE runs. Block boundaries + per-block stats are
@@ -248,6 +250,29 @@ def _pack_runs(
         ]
     else:
         pos_bin = [b""] * len(bstarts)
+    if off_start_flat is not None:
+        # char offsets per occurrence (postings_enum.rs:63-67 Offsets flag):
+        # starts delta-encoded within each posting exactly like positions
+        # (strictly increasing per doc), token lengths FOR-packed raw
+        odeltas = np.empty(len(off_start_flat), dtype=np.int64)
+        if len(off_start_flat):
+            odeltas[0] = off_start_flat[0]
+            odeltas[1:] = off_start_flat[1:] - off_start_flat[:-1]
+            starts_of_postings = pos_offsets[:-1]
+            odeltas[starts_of_postings] = off_start_flat[starts_of_postings]
+        odeltas_u = odeltas.astype(np.uint64)
+        olen_u = off_len_flat.astype(np.uint64)
+        offs_bin = [
+            pack(odeltas_u[pos_offsets[s] : pos_offsets[e]])
+            for s, e in zip(bstarts, bends)
+        ]
+        olen_bin = [
+            pack(olen_u[pos_offsets[s] : pos_offsets[e]])
+            for s, e in zip(bstarts, bends)
+        ]
+    else:
+        offs_bin = [b""] * len(bstarts)
+        olen_bin = [b""] * len(bstarts)
     out_terms = term_arr[bstarts] if term_values is None else term_values[term_arr[bstarts]]
     return pd.DataFrame(
         {
@@ -264,6 +289,8 @@ def _pack_runs(
             "tfs_bin": tfs_bin,
             "dlq_bin": dlq_bin,
             "pos_bin": pos_bin,
+            "offs_bin": offs_bin,
+            "olen_bin": olen_bin,
             "imp_tf": [i[0] for i in impacts],
             "imp_dlq": [i[1] for i in impacts],
         }
@@ -314,13 +341,20 @@ def _pack_partition(batches):
 
 def _count_batch(
     doc_ids: np.ndarray, parts: np.ndarray, content: pd.Series, positions: bool = False,
-    stop_words=None, char_filters=None, word_break="simple",
+    stop_words=None, char_filters=None, word_break="simple", offsets: bool = False,
 ):
     """Vectorized per-batch term counting → flat (doc, seg, dlq, code, tf)
     pair arrays + batch vocab. With positions=True also returns the ragged
     per-pair token-position stream (pos_flat sorted ascending within each
-    pair, counts == tf give the offsets)."""
-    toks = tokenize_series(content, stop_words=stop_words, char_filters=char_filters, word_break=word_break)
+    pair, counts == tf give the offsets); offsets=True adds the aligned
+    per-occurrence char-offset streams (start, len)."""
+    if offsets:
+        spans = tokenize_spans_series(
+            content, stop_words=stop_words, char_filters=char_filters, word_break=word_break
+        )
+        toks = spans.map(lambda sp: [t for t, _, _ in sp])
+    else:
+        toks = tokenize_series(content, stop_words=stop_words, char_filters=char_filters, word_break=word_break)
     lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
     dl = lens
     dlq = K.int_to_byte4(dl)
@@ -328,13 +362,25 @@ def _count_batch(
     if total == 0:
         empty = np.zeros(0, dtype=np.int64)
         return (empty, empty.astype(np.int32), empty.astype(np.uint8),
-                empty, empty.astype(np.int32), np.zeros(0, dtype=object), empty, dl)
+                empty, empty.astype(np.int32), np.zeros(0, dtype=object), empty, dl,
+                empty, empty)
     all_tokens = np.empty(total, dtype=object)
+    starts_all = np.zeros(total, dtype=np.int64) if offsets else None
+    ends_all = np.zeros(total, dtype=np.int64) if offsets else None
     pos = 0
-    for t in toks:
-        n = len(t)
-        all_tokens[pos : pos + n] = t
-        pos += n
+    if offsets:
+        for sp in spans:
+            n = len(sp)
+            for j, (t, a, b) in enumerate(sp):
+                all_tokens[pos + j] = t
+                starts_all[pos + j] = a
+                ends_all[pos + j] = b
+            pos += n
+    else:
+        for t in toks:
+            n = len(t)
+            all_tokens[pos : pos + n] = t
+            pos += n
     codes, uniques = pd.factorize(all_tokens)
     n_u = len(uniques)
     doc_idx_rep = np.repeat(np.arange(len(doc_ids), dtype=np.int64), lens)
@@ -348,6 +394,12 @@ def _count_batch(
     else:
         uk, counts = np.unique(key, return_counts=True)
         pos_flat = np.zeros(0, dtype=np.int64)
+    if offsets:
+        off_start_flat = starts_all[order]
+        off_len_flat = (ends_all - starts_all)[order]
+    else:
+        off_start_flat = np.zeros(0, dtype=np.int64)
+        off_len_flat = np.zeros(0, dtype=np.int64)
     pair_doc_idx = uk // n_u
     pair_code = (uk % n_u).astype(np.int64)
     return (
@@ -359,10 +411,12 @@ def _count_batch(
         np.asarray(uniques, dtype=object),
         pos_flat,
         dl,
+        off_start_flat,
+        off_len_flat,
     )
 
 
-def _dwpt_partition(batches, positions: bool = False, stop_words=None, char_filters=None, pfor=False, word_break="simple"):
+def _dwpt_partition(batches, positions: bool = False, stop_words=None, char_filters=None, pfor=False, word_break="simple", offsets: bool = False):
     """mapInPandas kernel — the DocumentsWriterPerThread analog
     (clt/index/mod.rs:33): this task holds complete segments (docs are
     hash-routed by part), accumulates per-doc term counts across Arrow
@@ -377,20 +431,25 @@ def _dwpt_partition(batches, positions: bool = False, stop_words=None, char_filt
     full-corpus tokenize just to count tokens."""
     acc = []
     pos_acc = []
+    ostart_acc, olen_acc = [], []
     norm_docs, norm_parts, norm_dls = [], [], []
     vocab: dict = {}
     vocab_list: list = []
     for pdf in batches:
         b_doc_ids = pdf["doc_id"].to_numpy(np.int64)
         b_parts = pdf["part"].to_numpy(np.int64)
-        docs_b, segs_b, dlqs_b, codes_b, tfs_b, uniques_b, pos_b, dl_b = _count_batch(
+        (docs_b, segs_b, dlqs_b, codes_b, tfs_b, uniques_b, pos_b, dl_b,
+         ostart_b, olen_b) = _count_batch(
             b_doc_ids, b_parts, pdf["content"], positions,
             stop_words=stop_words, char_filters=char_filters, word_break=word_break,
+            offsets=offsets,
         )
         norm_docs.append(b_doc_ids)
         norm_parts.append(b_parts)
         norm_dls.append(dl_b)
         pos_acc.append(pos_b)
+        ostart_acc.append(ostart_b)
+        olen_acc.append(olen_b)
         # remap batch-local term codes into the task-level vocabulary
         remap = np.empty(len(uniques_b), dtype=np.int64)
         for j, term in enumerate(uniques_b):
@@ -436,8 +495,11 @@ def _dwpt_partition(batches, positions: bool = False, stop_words=None, char_filt
     order = np.lexsort((docs, segs, codes))
     vocab_arr = np.asarray(vocab_list, dtype=object)
     pos_flat = pos_offsets = None
+    off_start_flat = off_len_flat = None
     if positions:
-        # ragged reorder of per-pair position slices, fully vectorized
+        # ragged reorder of per-pair position slices, fully vectorized;
+        # the offset streams are aligned 1:1 with the position stream, so
+        # they reuse the same gather index
         raw = np.concatenate(pos_acc) if pos_acc else np.zeros(0, dtype=np.int64)
         old_off = np.concatenate(([0], np.cumsum(tfs)))
         lens_o = tfs[order]
@@ -447,10 +509,13 @@ def _dwpt_partition(batches, positions: bool = False, stop_words=None, char_filt
         )
         pos_flat = raw[gather]
         pos_offsets = new_off
+        if offsets:
+            off_start_flat = np.concatenate(ostart_acc)[gather]
+            off_len_flat = np.concatenate(olen_acc)[gather]
     out = _pack_runs(
         codes[order], segs[order], docs[order], tfs[order], dlqs[order],
         term_values=vocab_arr, pos_flat=pos_flat, pos_offsets=pos_offsets,
-        pfor=pfor,
+        pfor=pfor, off_start_flat=off_start_flat, off_len_flat=off_len_flat,
     )
     if out is not None and len(out):
         step = 65536
@@ -589,6 +654,7 @@ def build_index(
     char_filters=None,
     codec: str = "for",
     word_break: str = "simple",
+    offsets: bool = False,
 ) -> dict:
     """Build the full index under out_dir. Returns the committed manifest.
 
@@ -606,6 +672,8 @@ def build_index(
         )
     if analyzer == "jvm" and word_break != "simple":
         raise ValueError("word_break='uax29' requires analyzer='dwpt'")
+    if offsets and not positions:
+        raise ValueError("offsets=True requires positions=True")
     t_start = time.time()
     # shuffle_width = physical task fan-out for the heavy stages; decoupled
     # from num_partitions (the logical segment count) so CPU-bound kernel
@@ -627,7 +695,7 @@ def build_index(
             spark, src_for_groups, out_dir, g, num_groups, num_partitions,
             width=width, analyzer=analyzer, positions=positions, resume=resume,
             stop_words=stop_words, char_filters=char_filters, codec=codec,
-            word_break=word_break,
+            word_break=word_break, offsets=offsets,
         )
         group_stats.append(gs)
 
@@ -662,6 +730,7 @@ def build_index(
         "positions": bool(positions),
         "stop_words": sorted(stop_words) if stop_words else None,
         "word_break": word_break,
+        "offsets": bool(offsets),
         "char_filters": [list(cf) for cf in char_filters] if char_filters else None,
         "codec": codec,
         "doc_count": doc_count,
@@ -703,6 +772,7 @@ def build_group_job(
     char_filters=None,
     codec: str = "for",
     word_break: str = "simple",
+    offsets: bool = False,
 ) -> dict:
     """Build exactly one checkpoint group and write its checkpoint — the
     unit of distributed work: independent group-builder processes (or a
@@ -736,7 +806,7 @@ def build_group_job(
     gs = _build_group(
         docs, out_dir, g, num_groups, width, analyzer, positions,
         stop_words=stop_words, char_filters=char_filters, codec=codec,
-        word_break=word_break,
+        word_break=word_break, offsets=offsets,
     )
     with open(ck_path + ".tmp", "w") as f:
         json.dump(gs, f)
@@ -772,7 +842,7 @@ def _build_group(
     analyzer: str = "dwpt", positions: bool = False,
     postings_dirname: str = "postings",
     stop_words=None, char_filters=None, codec: str = "for",
-    word_break: str = "simple",
+    word_break: str = "simple", offsets: bool = False,
 ) -> dict:
     """Build one checkpoint group from its (pre-filtered) slice of the
     corpus. With the dwpt analyzer the slice's content is read EXACTLY
@@ -852,10 +922,10 @@ def _build_group(
         sw = frozenset(stop_words) if stop_words else None
         cf = tuple(tuple(c) for c in char_filters) if char_filters else None
 
-        def dwpt(batches, _p=positions, _sw=sw, _cf=cf, _pf=(codec == "pfor"), _wb=word_break):
+        def dwpt(batches, _p=positions, _sw=sw, _cf=cf, _pf=(codec == "pfor"), _wb=word_break, _of=offsets):
             return _dwpt_partition(
                 batches, positions=_p, stop_words=_sw, char_filters=_cf, pfor=_pf,
-                word_break=_wb,
+                word_break=_wb, offsets=_of,
             )
 
         # persist before repartitionByRange: the range sampling pass would

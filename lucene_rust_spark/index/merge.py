@@ -26,7 +26,7 @@ from lucene_rust_spark.index.build import _BLOCK_SCHEMA, _pack_runs
 from lucene_rust_spark.index.manifest import commit_manifest, read_manifest
 
 
-def _repack_partition(batches, positions: bool = False, pfor: bool = False):
+def _repack_partition(batches, positions: bool = False, pfor: bool = False, offsets: bool = False):
     """Input: block rows sorted by (term, mseg, seg, block_no) — every
     (term, mseg) run is a globally docID-sorted sequence of packed blocks
     from fan_in source segments. Decode, concatenate, re-pack. Streaming
@@ -35,16 +35,19 @@ def _repack_partition(batches, positions: bool = False, pfor: bool = False):
     decoded to absolute positions and re-delta'd across the new block
     boundaries by _pack_runs — a merged positional index answers phrase
     queries identically to the unmerged one."""
-    pend = None  # (terms, msegs, docs, tfs, dlqs[, pos_flat]) of the tail run
+    pend = None  # (terms, msegs, docs, tfs, dlqs[, pos, ostart, olen]) tail run
 
     def decode_rows(pdf: pd.DataFrame):
         terms, msegs, docs, tfs, dlqs, pos = [], [], [], [], [], []
+        ostarts, olens = [], []
         for row in zip(
             pdf["term"], pdf["mseg"], pdf["n"], pdf["first_doc"],
             pdf["docs_bin"], pdf["tfs_bin"], pdf["dlq_bin"],
             pdf["pos_bin"] if positions else pdf["term"],
+            pdf["offs_bin"] if offsets else pdf["term"],
+            pdf["olen_bin"] if offsets else pdf["term"],
         ):
-            term, mseg, n, first_doc, db, tb, qb, pb = row
+            term, mseg, n, first_doc, db, tb, qb, pb, ob, lb = row
             n = int(n)
             d = np.int64(first_doc) + np.cumsum(K.for_unpack(bytes(db), n)).astype(np.int64)
             docs.append(d)
@@ -63,6 +66,14 @@ def _repack_partition(batches, positions: bool = False, pfor: bool = False):
                 base[offs[1:]] = cs[offs[1:] - 1]
                 np.maximum.accumulate(base, out=base)
                 pos.append(cs - base)
+                if offsets:
+                    odeltas = K.for_unpack(bytes(ob), total).astype(np.int64)
+                    ocs = np.cumsum(odeltas)
+                    obase = np.zeros(total, dtype=np.int64)
+                    obase[offs[1:]] = ocs[offs[1:] - 1]
+                    np.maximum.accumulate(obase, out=obase)
+                    ostarts.append(ocs - obase)
+                    olens.append(K.for_unpack(bytes(lb), total).astype(np.int64))
         if not docs:
             return None
         out = [
@@ -74,6 +85,9 @@ def _repack_partition(batches, positions: bool = False, pfor: bool = False):
         ]
         if positions:
             out.append(np.concatenate(pos) if pos else np.zeros(0, dtype=np.int64))
+        if offsets:
+            out.append(np.concatenate(ostarts) if ostarts else np.zeros(0, dtype=np.int64))
+            out.append(np.concatenate(olens) if olens else np.zeros(0, dtype=np.int64))
         return tuple(out)
 
     def split_tail(cols):
@@ -85,8 +99,11 @@ def _repack_partition(batches, positions: bool = False, pfor: bool = False):
     def pack(cols):
         if positions:
             tfs = cols[3]
-            offsets = np.concatenate(([0], np.cumsum(tfs)))
-            return _pack_runs(*cols[:5], pos_flat=cols[5], pos_offsets=offsets, pfor=pfor)
+            po = np.concatenate(([0], np.cumsum(tfs)))
+            kw = {}
+            if offsets:
+                kw = {"off_start_flat": cols[6], "off_len_flat": cols[7]}
+            return _pack_runs(*cols[:5], pos_flat=cols[5], pos_offsets=po, pfor=pfor, **kw)
         return _pack_runs(*cols, pfor=pfor)
 
     for pdf in batches:
@@ -99,10 +116,10 @@ def _repack_partition(batches, positions: bool = False, pfor: bool = False):
         ts = split_tail(cols[:5])
         pos_cut = int(cols[3][:ts].sum()) if positions else None
         pend = tuple(
-            c[pos_cut:] if positions and i == 5 else c[ts:] for i, c in enumerate(cols)
+            c[pos_cut:] if positions and i >= 5 else c[ts:] for i, c in enumerate(cols)
         )
         head = tuple(
-            c[:pos_cut] if positions and i == 5 else c[:ts] for i, c in enumerate(cols)
+            c[:pos_cut] if positions and i >= 5 else c[:ts] for i, c in enumerate(cols)
         )
         out = pack(head)
         if out is not None and len(out):
@@ -123,6 +140,7 @@ def merge_segments(
     m = read_manifest(index_dir)
     assert m is not None
     positions = bool(m.get("positions"))
+    offsets = bool(m.get("offsets"))
     postings = spark.read.parquet(
         os.path.join(index_dir, m.get("postings_dir", "postings"))
     )
@@ -130,11 +148,13 @@ def merge_segments(
     cols = ["term", "mseg", "n", "first_doc", "docs_bin", "tfs_bin", "dlq_bin"]
     if positions:
         cols.append("pos_bin")
+    if offsets:
+        cols.extend(["offs_bin", "olen_bin"])
 
     pfor = m.get("codec") == "pfor"
 
-    def repack(batches, _p=positions, _pf=pfor):
-        return _repack_partition(batches, positions=_p, pfor=_pf)
+    def repack(batches, _p=positions, _pf=pfor, _o=offsets):
+        return _repack_partition(batches, positions=_p, pfor=_pf, offsets=_o)
 
     merged = (
         keyed.repartitionByRange(width, "term")

@@ -275,6 +275,104 @@ class IndexSearcher:
 
         return blocks.mapInPandas(decode, schema="term string, doc_id long, pos long, dlq int")
 
+    def term_offsets(self, terms: list[str]) -> DataFrame:
+        """(term, doc_id, pos, start, end) — one row per occurrence with
+        char offsets (clt/index/postings_enum.rs:63-67, the Offsets
+        postings flag). Decodes the offset streams written by
+        build_index(offsets=True): starts are within-posting deltas like
+        positions, lengths are raw FOR blocks."""
+        if not self.manifest.get("offsets"):
+            raise ValueError(
+                "index was built without offsets (build_index(offsets=True))"
+            )
+        blocks = self.postings.filter(F.col("term").isin(list(terms))).select(
+            "term", "n", "first_doc", "docs_bin", "tfs_bin",
+            "pos_bin", "offs_bin", "olen_bin",
+        )
+
+        def decode(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                terms_o, docs_o, pos_o, st_o, en_o = [], [], [], [], []
+                for term, n, first_doc, db, tb, pb, ob, lb in zip(
+                    pdf["term"], pdf["n"], pdf["first_doc"], pdf["docs_bin"],
+                    pdf["tfs_bin"], pdf["pos_bin"], pdf["offs_bin"], pdf["olen_bin"],
+                ):
+                    n = int(n)
+                    docs = np.int64(first_doc) + np.cumsum(
+                        K.for_unpack(bytes(db), n)
+                    ).astype(np.int64)
+                    tfs = K.for_unpack(bytes(tb), n).astype(np.int64)
+                    total = int(tfs.sum())
+                    offs = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+
+                    def segmented(deltas):
+                        cs = np.cumsum(deltas)
+                        base = np.zeros(total, dtype=np.int64)
+                        base[offs[1:]] = cs[offs[1:] - 1]
+                        np.maximum.accumulate(base, out=base)
+                        return cs - base
+
+                    pos = segmented(K.for_unpack(bytes(pb), total).astype(np.int64))
+                    starts = segmented(K.for_unpack(bytes(ob), total).astype(np.int64))
+                    lens = K.for_unpack(bytes(lb), total).astype(np.int64)
+                    terms_o.append(np.repeat(term, total))
+                    docs_o.append(np.repeat(docs, tfs))
+                    pos_o.append(pos)
+                    st_o.append(starts)
+                    en_o.append(starts + lens)
+                if not terms_o:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "term": np.concatenate(terms_o),
+                        "doc_id": np.concatenate(docs_o),
+                        "pos": np.concatenate(pos_o),
+                        "start": np.concatenate(st_o),
+                        "end": np.concatenate(en_o),
+                    }
+                )
+
+        return blocks.mapInPandas(
+            decode, schema="term string, doc_id long, pos long, start long, end long"
+        )
+
+    def snippets(
+        self,
+        query: dict,
+        text_df: DataFrame,
+        k: int = 10,
+        window: int = 30,
+        prune: bool | None = None,
+    ) -> DataFrame:
+        """Top-k hits with a highlight snippet cut around the FIRST
+        occurrence of any query term (the UnifiedHighlighter's offsets
+        strategy, built on the Offsets postings flag): join hits with the
+        min-(start,end) occurrence, then one JVM substring over the
+        caller-provided stored source (doc_id, text) — no Python in the
+        cut, no re-analysis of text at query time."""
+        from lucene_rust_spark.oracle.bm25 import query_terms
+
+        must, should, _mn, _msm = query_terms(query)
+        terms = sorted(set(must) | set(should))
+        hits = self.search_df(query, k, prune=prune)
+        first = (
+            self.term_offsets(terms)
+            .groupBy("doc_id")
+            .agg(F.min(F.struct("start", "end")).alias("fo"))
+            .select("doc_id", F.col("fo.start").alias("start"), F.col("fo.end").alias("end"))
+        )
+        joined = hits.join(first, "doc_id", "left").join(text_df, "doc_id", "left")
+        snip = F.substring(
+            F.col("text"),
+            (F.greatest(F.col("start") - window, F.lit(0)) + 1).cast("int"),
+            (F.col("end") - F.col("start") + 2 * window).cast("int"),
+        )
+        return joined.select(
+            "doc_id", "score", "start", "end", snip.alias("snippet")
+        )
+
     @staticmethod
     def _phrase_slots(query: dict) -> list[list[str]]:
         """Normalize phrase / multi_phrase ASTs to per-position term slots

@@ -57,6 +57,7 @@ def append_batch(
         positions=bool(m.get("positions")),
         postings_dirname=m.get("postings_dir", "postings"),
         word_break=m.get("word_break", "simple"),
+        offsets=bool(m.get("offsets")),
     )
 
     # drop a possibly-stale record of this epoch (idempotent replay)

@@ -289,3 +289,66 @@ def test_uax29_build_rank_identity(spark, tmp_path):
         assert all(
             np.float32(a) == np.float32(b) for (_, a), (_, b) in zip(got, want)
         ), q
+
+
+def test_offsets_roundtrip_and_snippets(spark, tmp_path):
+    """build_index(offsets=True): per-occurrence (start, end) char offsets
+    decoded from the index equal a direct tokenize_spans() recompute, and
+    survive a merge byte-for-byte; snippets() cuts the stored text around
+    the first occurrence with one JVM substring."""
+    import pandas as pd
+
+    from lucene_rust_spark.functions.analysis import tokenize_spans
+    from lucene_rust_spark.index.build import build_index
+    from lucene_rust_spark.index.merge import merge_segments
+    from lucene_rust_spark.oracle.bm25 import assign_doc_ids, term_query
+    from lucene_rust_spark.search.searcher import IndexSearcher
+
+    from lucene_rust_spark.corpus import gen_corpus_pandas, gen_corpus_spark
+
+    out = str(tmp_path / "off")
+    n = 300
+    build_index(
+        spark, gen_corpus_spark(spark, n, 4), out,
+        num_partitions=4, positions=True, offsets=True,
+    )
+    pdf = assign_doc_ids(gen_corpus_pandas(n), 4)
+    s = IndexSearcher(spark, out, cache=True)
+
+    def check(term):
+        got = (
+            s.term_offsets([term])
+            .orderBy("doc_id", "pos")
+            .select("doc_id", "start", "end")
+            .collect()
+        )
+        want = []
+        for did, text in zip(pdf["doc_id"], pdf["content"]):
+            for tok, a, b in tokenize_spans(text):
+                if tok == term:
+                    want.append((int(did), a, b))
+        assert [(r["doc_id"], r["start"], r["end"]) for r in got] == want, term
+
+    check("merge")
+    check("value")
+    merge_segments(spark, out, fan_in=2)
+    s2 = IndexSearcher(spark, out, cache=True)
+    check_after = (
+        s2.term_offsets(["merge"]).orderBy("doc_id", "pos").collect()
+    )
+    check_before = (
+        s.term_offsets(["merge"]).orderBy("doc_id", "pos").collect()
+    )
+    assert check_after == check_before
+
+    text_df = spark.createDataFrame(
+        pdf[["doc_id", "content"]].rename(columns={"content": "text"})
+    )
+    snips = s2.snippets(term_query("merge"), text_df, k=5, window=10).collect()
+    assert len(snips) == 5
+    texts = dict(zip(pdf["doc_id"], pdf["content"]))
+    for r in snips:
+        t = texts[r["doc_id"]]
+        lo = max(r["start"] - 10, 0)
+        assert r["snippet"] == t[lo : r["end"] + 10]
+        assert "merge" in r["snippet"]
