@@ -130,12 +130,53 @@ def _repack_partition(batches, positions: bool = False, pfor: bool = False, offs
             yield out
 
 
+def plan_tiered(segments: list[dict], fan_in: int) -> dict[int, int]:
+    """Size-budgeted merge selection — the TieredMergePolicy analog
+    (clt/index/mod.rs:181 [stub]; Lucene's published behavior: merge
+    segments of SIMILAR size, never rewrite a giant to absorb dust).
+    Returns seg -> mseg. Segments are sorted by size; a group greedily
+    takes up to fan_in size-adjacent segments, where adjacency means the
+    next segment is at most fan_in x the group's smallest — a lone giant
+    ends up in a singleton group and its blocks pass through unmerged
+    (bounded write amplification: each doc is rewritten O(log_fan_in n)
+    times over the index's life, as in Lucene's tiered geometry).
+
+    Any grouping is correctness-neutral here: doc_id embeds seg in its
+    high bits, so ordering a group's blocks by (seg, block_no) is already
+    global docID order — no docBase remapping, no adjacency requirement."""
+    sized = sorted(segments, key=lambda s: (s["max_doc"], s["seg"]))
+    mapping: dict[int, int] = {}
+    i = 0
+    while i < len(sized):
+        group = [sized[i]]
+        j = i + 1
+        floor_sz = max(1, sized[i]["max_doc"])
+        while (
+            j < len(sized)
+            and len(group) < fan_in
+            and sized[j]["max_doc"] <= floor_sz * fan_in
+        ):
+            group.append(sized[j])
+            j += 1
+        mseg = min(s["seg"] for s in group)
+        for s in group:
+            mapping[s["seg"]] = mseg
+        i = j
+    return mapping
+
+
 def merge_segments(
-    spark: SparkSession, index_dir: str, fan_in: int = 10, width: int | None = None
+    spark: SparkSession,
+    index_dir: str,
+    fan_in: int = 10,
+    width: int | None = None,
+    policy: str = "flat",
 ) -> dict:
-    """Merge segments seg -> seg // fan_in in place (new postings dir +
-    manifest generation bump). Norms/docmap are unchanged — docIDs are
-    stable across merges (no docBase remapping needed, see module doc)."""
+    """Merge segments in place (new postings dir + manifest generation
+    bump). policy='flat': seg -> seg // fan_in (every segment rewritten);
+    policy='tiered': size-adjacent grouping via plan_tiered, singleton
+    groups pass through without decode/repack. Norms/docmap are unchanged
+    — docIDs are stable across merges (no docBase remapping, module doc)."""
     width = width or spark.sparkContext.defaultParallelism
     m = read_manifest(index_dir)
     assert m is not None
@@ -144,7 +185,23 @@ def merge_segments(
     postings = spark.read.parquet(
         os.path.join(index_dir, m.get("postings_dir", "postings"))
     )
-    keyed = postings.withColumn("mseg", (F.col("seg") / fan_in).cast("int"))
+    if policy == "tiered":
+        mapping = plan_tiered(m["segments"], fan_in)
+        map_col = F.create_map(
+            *[x for s_, t_ in sorted(mapping.items()) for x in (F.lit(s_), F.lit(t_))]
+        )
+        keyed = postings.withColumn("mseg", map_col[F.col("seg")].cast("int"))
+        seg_of = lambda s: mapping[s["seg"]]  # noqa: E731
+        from collections import Counter
+
+        group_sizes = Counter(mapping.values())
+        passthrough_msegs = [g for g, n in group_sizes.items() if n == 1]
+    elif policy == "flat":
+        keyed = postings.withColumn("mseg", (F.col("seg") / fan_in).cast("int"))
+        seg_of = lambda s: s["seg"] // fan_in  # noqa: E731
+        passthrough_msegs = []
+    else:
+        raise ValueError(f"unknown merge policy: {policy!r} (flat | tiered)")
     cols = ["term", "mseg", "n", "first_doc", "docs_bin", "tfs_bin", "dlq_bin"]
     if positions:
         cols.append("pos_bin")
@@ -156,12 +213,25 @@ def merge_segments(
     def repack(batches, _p=positions, _pf=pfor, _o=offsets):
         return _repack_partition(batches, positions=_p, pfor=_pf, offsets=_o)
 
+    to_repack = keyed
+    passthrough = None
+    if passthrough_msegs:
+        # singleton groups: blocks keep their packing — re-keying seg is
+        # the only change, so skip the decode/repack kernel entirely (the
+        # "don't rewrite the giant" half of the tiered policy)
+        pt_cond = F.col("mseg").isin(passthrough_msegs)
+        passthrough = keyed.filter(pt_cond).withColumn(
+            "seg", F.col("mseg")
+        ).select(*[f.split(" ")[0] for f in _BLOCK_SCHEMA.split(", ")])
+        to_repack = keyed.filter(~pt_cond)
     merged = (
-        keyed.repartitionByRange(width, "term")
+        to_repack.repartitionByRange(width, "term")
         .sortWithinPartitions("term", "mseg", "seg", "block_no")
         .select(*cols)
         .mapInPandas(repack, schema=_BLOCK_SCHEMA)
     )
+    if passthrough is not None:
+        merged = merged.unionByName(passthrough)
     gen = m["generation"] + 1
     # merged blocks live under group=0 so the generation dir keeps the
     # build's partitioned layout — later streaming appends add sibling
@@ -173,8 +243,8 @@ def merge_segments(
     segs: dict[int, dict] = {}
     for s in m["segments"]:
         t = segs.setdefault(
-            s["seg"] // fan_in,
-            {"seg": s["seg"] // fan_in, "max_doc": 0, "sum_ttf": 0,
+            seg_of(s),
+            {"seg": seg_of(s), "max_doc": 0, "sum_ttf": 0,
              "doc_base": s["doc_base"], "del_count": 0, "sha_acc": 0,
              "group": s.get("group", 0), "merged_from": []},
         )

@@ -145,3 +145,86 @@ def test_wand_equals_exact_with_tombstones(spark, t1_index, searcher):
         assert got == want, q
         assert len(got) == 10
         assert not deleted & {d for d, _ in got}
+
+
+def test_plan_tiered_properties():
+    """Size-budget selection: groups are <= fan_in, size-adjacent (next
+    member <= fan_in x group floor), every segment mapped exactly once,
+    and a lone giant next to dust stays a singleton (never rewritten to
+    absorb it) — clt/index/mod.rs:181."""
+    from lucene_rust_spark.index.merge import plan_tiered
+
+    segs = [{"seg": i, "max_doc": d} for i, d in enumerate([3, 2, 100_000, 4, 2, 3, 5000, 4800])]
+    fan_in = 4
+    mapping = plan_tiered(segs, fan_in)
+    assert set(mapping) == {s["seg"] for s in segs}
+    groups: dict = {}
+    for s in segs:
+        groups.setdefault(mapping[s["seg"]], []).append(s["max_doc"])
+    for mseg, sizes in groups.items():
+        assert len(sizes) <= fan_in
+        assert max(sizes) <= max(1, min(sizes)) * fan_in  # size adjacency
+    # the 100k giant is alone; the two ~5k peers merge together
+    assert groups[mapping[2]] == [100_000]
+    assert sorted(groups[mapping[6]]) == [4800, 5000]
+
+
+def test_tiered_merge_end_to_end(spark, tmp_path):
+    """Tiered merge on a skewed mix (1 giant + appended dust): postings
+    decode identically, searches agree, and the giant's blocks pass
+    through BYTE-IDENTICAL (no decode/repack of the big segment)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lucene_rust_spark.corpus import gen_corpus_spark
+    from lucene_rust_spark.index.build import build_index
+    from lucene_rust_spark.index.manifest import read_manifest
+    from lucene_rust_spark.index.merge import merge_segments, plan_tiered
+    from lucene_rust_spark.oracle.bm25 import bool_query
+    from lucene_rust_spark.search.searcher import IndexSearcher
+
+    out = str(tmp_path / "idx")
+    src = gen_corpus_spark(spark, 260, 1).persist()
+    big = src.limit(200)
+    build_index(spark, big, out, num_partitions=1)
+    from lucene_rust_spark.streaming.incremental import append_batch
+
+    rest = src.subtract(big)
+    for e, frac in enumerate([0, 1, 2]):
+        batch = rest.filter(F.crc32("path") % 3 == frac)
+        append_batch(spark, batch, out, epoch=e, num_partitions=2)
+    m0 = read_manifest(out)
+    assert len(m0["segments"]) == 7  # 1 giant + 6 dust
+    giant_seg = max(m0["segments"], key=lambda s: s["max_doc"])["seg"]
+    mapping = plan_tiered(m0["segments"], fan_in=4)
+    assert sum(1 for s_, t_ in mapping.items() if t_ == mapping[giant_seg]) == 1
+
+    before = _postings_flat(spark, os.path.join(out, m0.get("postings_dir", "postings")))
+    giant_before = (
+        spark.read.parquet(os.path.join(out, m0.get("postings_dir", "postings")))
+        .filter(F.col("seg") == giant_seg)
+        .select("term", "block_no", "docs_bin", "tfs_bin", "dlq_bin")
+        .toPandas()
+        .sort_values(["term", "block_no"])
+        .reset_index(drop=True)
+    )
+    m1 = merge_segments(spark, out, fan_in=4, policy="tiered")
+    assert len(m1["segments"]) < 7
+    after = _postings_flat(spark, os.path.join(out, m1["postings_dir"]))
+    assert before.equals(after)
+    giant_after = (
+        spark.read.parquet(os.path.join(out, m1["postings_dir"]))
+        .filter(F.col("seg") == mapping[giant_seg])
+        .select("term", "block_no", "docs_bin", "tfs_bin", "dlq_bin")
+        .toPandas()
+        .sort_values(["term", "block_no"])
+        .reset_index(drop=True)
+    )
+    assert giant_before.equals(giant_after)
+    s = IndexSearcher(spark, out)
+    s_pre = IndexSearcher(spark, out)
+    s_pre.postings = spark.read.parquet(os.path.join(out, m0.get("postings_dir", "postings")))
+    q = bool_query(should=["merge", "token", "value"])
+    assert s.search(q, 10) == s_pre.search(q, 10)
+    src.unpersist()
