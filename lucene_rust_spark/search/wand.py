@@ -37,6 +37,13 @@ _BLOCK_COLS = [
     "max_tf", "min_dlq", "sum_tf", "docs_bin", "tfs_bin", "dlq_bin",
 ]
 
+# Effectiveness guard (measured, BENCH/WAND.md): when the block-max filter
+# keeps more than this share of blocks, pruning cannot win — the theta
+# pass plus candidate machinery only adds fixed cost on top of a near-full
+# decode. Counting kept blocks is a metadata-only aggregate (no posting
+# decode), so bailing out here caps the worst case at the theta bootstrap.
+MAX_KEPT_RATIO = 0.5
+
 
 def _with_ub(searcher, blocks: DataFrame, stats: dict) -> DataFrame:
     """Attach the per-block score upper bound, JVM-side, with the 256-entry
@@ -122,14 +129,17 @@ def wand_candidates(searcher, scoring: list, stats: dict, k: int):
         if theta <= 0.0:
             return all_blocks, None
 
+        n_total = blocks.count()
         if len(scoring) == 1:
             # single-term fast path (the q001 head-term shape): every
             # posting's score is already complete, so blocks whose upper
             # bound clears theta can be scored directly — no candidate
             # set, no rescore join. A top-10 on a head term now decodes
             # only the competitive blocks instead of the full posting list.
-            kept = blocks.filter(F.col("ub") >= F.lit(theta)).select(*_BLOCK_COLS)
-            return kept, None
+            kept = blocks.filter(F.col("ub") >= F.lit(theta))
+            if kept.count() > MAX_KEPT_RATIO * n_total:
+                return all_blocks, None  # not selective: exact path wins
+            return kept.select(*_BLOCK_COLS), None
 
         # pass 2: block-max filter — keep blocks that could contribute to a
         # doc reaching theta
@@ -137,6 +147,11 @@ def wand_candidates(searcher, scoring: list, stats: dict, k: int):
         kept = blocks.filter(
             F.col("ub") + (F.lit(total_ub) - gub_map[F.col("term")]) >= F.lit(theta)
         )
+        if kept.count() > MAX_KEPT_RATIO * n_total:
+            # bail BEFORE the candidate pass: scoring near-all postings
+            # just to learn the candidate set isn't selective costs more
+            # than the exact plan it would replace
+            return all_blocks, None
 
         # candidate docs from kept blocks, filtered by per-doc upper bound
         cand = (

@@ -105,15 +105,18 @@ def test_wand_equals_exact(searcher, golden_queries, golden_results):
     assert checked >= 30
 
 
-def test_wand_candidate_restriction(searcher):
+def test_wand_candidate_restriction(searcher, monkeypatch):
     """The pruning pass engages (doesn't always fall back) and restricts
     candidates to a strict subset of matching docs for small k. Block-count
     reduction is corpus-dependent (t1 is tiny and dense: every 128-doc
-    block spans most candidates), so it is asserted at bench scale instead
-    (tools/bench_scaling.py reports pruning ratio)."""
+    block spans most candidates — which is exactly what the effectiveness
+    guard bails on, so it is disabled here to test the candidate
+    machinery; payoff itself is measured at scale, BENCH/WAND.md)."""
     from lucene_rust_spark.oracle.bm25 import bool_query
+    from lucene_rust_spark.search import wand
     from lucene_rust_spark.search.wand import wand_candidates
 
+    monkeypatch.setattr(wand, "MAX_KEPT_RATIO", 1.1)
     should = ["value", "token"]
     stats = searcher.term_stats(should)
     blocks, cand = wand_candidates(searcher, sorted(should), stats, 1)
