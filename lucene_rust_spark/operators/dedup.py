@@ -204,10 +204,22 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3, bands: int = 4) -> DataFr
         sig.unpersist()
 
 
-def embedding_near_dupes(emb: DataFrame, tau: float = 0.95) -> DataFrame:
+def embedding_near_dupes(
+    emb: DataFrame, tau: float = 0.95, max_rows: int = 100_000
+) -> DataFrame:
     """(a, b, cos) pairs with cosine >= tau over (id long, embedding
-    array<float>). Exact all-pairs via a normalized block-matrix kernel —
-    for the scale path use operators/similarity.py (LSH-bucketed ANN)."""
+    array<float>). Exact all-pairs — O(n^2) BY DESIGN, the small-scale
+    oracle. Inputs larger than max_rows raise instead of silently
+    launching a quadratic join: at scale, bucket by lsh_bucket_col
+    (operators/similarity.py) and run the all-pairs kernel within buckets,
+    or use minhash_pairs for token-based near-dup."""
+    n = emb.count()
+    if n > max_rows:
+        raise ValueError(
+            f"embedding_near_dupes is exact all-pairs (O(n^2)); {n} rows > "
+            f"max_rows={max_rows}. Use the LSH-bucketed path "
+            "(operators/similarity.lsh_bucket_col + per-bucket pairs) at scale."
+        )
     norm = F.sqrt(
         F.aggregate(
             F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
@@ -225,6 +237,65 @@ def embedding_near_dupes(emb: DataFrame, tau: float = 0.95) -> DataFrame:
     )
     return (
         x.join(y, F.col("a") < F.col("b"))
+        .withColumn("cos", dot / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos") >= tau)
+        .select("a", "b", F.round("cos", 6).alias("cos"))
+    )
+
+
+def embedding_near_dupes_lsh(
+    emb: DataFrame,
+    tau: float = 0.95,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """(a, b, cos) near-dup pairs at SCALE: candidates from n_tables
+    independent random-hyperplane bucketings (equi-joins on the bucket
+    column — no cartesian), exact cosine verification on candidates only.
+
+    Recall math (published SimHash/LSH bound): vectors at cosine tau have
+    per-plane agreement p = 1 - arccos(tau)/pi (~0.9 at tau 0.95), so a
+    pair collides in one table with p^n_planes and is missed by all
+    tables with (1 - p^n_planes)^n_tables (~5% at 6 planes x 4 tables).
+    Raise n_tables for higher recall, n_planes for smaller buckets. Each
+    table's bucket id is a plain column, so at 100 TB the join is
+    shuffle-on-bucket with skew handled by AQE; candidates are
+    deduplicated before the exact-cosine verify."""
+    from lucene_rust_spark.operators.similarity import lsh_bucket_col
+
+    first = emb.select("embedding").first()
+    if first is None:
+        return emb.sparkSession.createDataFrame([], "a long, b long, cos double")
+    dim = len(first["embedding"])
+    cand = None
+    for t in range(n_tables):
+        b = emb.select("id", "embedding").withColumn(
+            "bk", lsh_bucket_col(dim, n_planes, seed + 1000 * t)
+        )
+        x = b.select(F.col("id").alias("a"), "bk")
+        y = b.select(F.col("id").alias("b"), "bk")
+        p = x.join(y, "bk").filter(F.col("a") < F.col("b")).select("a", "b")
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.distinct()
+    ex = emb.select("id", "embedding")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda v: v.cast("double") * v.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    ea = ex.select(F.col("id").alias("a"), F.col("embedding").alias("ea"), nrm.alias("na"))
+    eb = ex.select(F.col("id").alias("b"), F.col("embedding").alias("eb"), nrm.alias("nb"))
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda p, q: p.cast("double") * q.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.join(ea, "a").join(eb, "b")
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
         .withColumn("cos", dot / (F.col("na") * F.col("nb")))
         .filter(F.col("cos") >= tau)
         .select("a", "b", F.round("cos", 6).alias("cos"))

@@ -110,21 +110,36 @@ def ann_lsh_topk(
             qsig |= 1 << i
     bucketed = emb.withColumn("bk", lsh_bucket_col(dim, n_planes, seed)).persist()
     try:
+        # ONE job computes every bucket's occupancy (<= 2^n_planes rows,
+        # vocabulary-sized); the multiprobe radius then widens entirely
+        # driver-side — no per-radius Spark count() round trips
+        sizes = {
+            int(r["bk"]): int(r["n"])
+            for r in bucketed.groupBy("bk").agg(F.count("*").alias("n")).collect()
+        }
         probes = {qsig}
-        cand = None
+        total = sizes.get(qsig, 0)
+        full_scan = False
         for radius in range(n_planes + 1):
             if radius > 0:
                 for combo in combinations(range(n_planes), radius):
                     m = 0
                     for i in combo:
                         m |= 1 << i
-                    probes.add(qsig ^ m)
+                    p = qsig ^ m
+                    if p not in probes:
+                        probes.add(p)
+                        total += sizes.get(p, 0)
             if len(probes) >= min(2**n_planes, max_probes):
-                cand = bucketed  # probing nearly everything: just scan
+                full_scan = True  # probing nearly everything: just scan
                 break
-            cand = bucketed.filter(F.col("bk").isin([int(x) for x in probes]))
-            if cand.count() >= min(min_candidates, n):
+            if total >= min(min_candidates, n):
                 break
+        cand = (
+            bucketed
+            if full_scan
+            else bucketed.filter(F.col("bk").isin([int(x) for x in probes]))
+        )
         out = cosine_topk(cand.select("id", "embedding"), qvec, k).persist()
         out.count()  # materialize before the bucket cache is dropped
         return out

@@ -113,3 +113,42 @@ def test_simhash_pairs_empty_docs(spark):
     assert sigs[1] == 0 and sigs[2] == 0
     pairs = {(r["a"], r["b"]): r["hamming"] for r in simhash_pairs(d).collect()}
     assert pairs.get((1, 2)) == 0
+
+
+def test_embedding_near_dupes_lsh_recall(spark):
+    """LSH-bucketed near-dup pairs: every returned pair is exact-verified
+    (subset of the all-pairs result), and recall against exact all-pairs
+    meets the published collision bound with slack."""
+    import numpy as np
+
+    from lucene_rust_spark.operators.dedup import (
+        embedding_near_dupes,
+        embedding_near_dupes_lsh,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((60, 16)).astype(np.float32)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        if i % 4 == 0:  # a near-duplicate: tiny perturbation
+            w = v + rng.standard_normal(16).astype(np.float32) * 0.02
+            rows.append((1000 + i, [float(x) for x in w]))
+    emb = spark.createDataFrame(rows, "id long, embedding array<float>")
+    exact = {(r["a"], r["b"]) for r in embedding_near_dupes(emb, tau=0.95).collect()}
+    got = {(r["a"], r["b"]) for r in embedding_near_dupes_lsh(emb, tau=0.95).collect()}
+    assert got <= exact  # exact verification: no false positives
+    assert len(exact) >= 10
+    assert len(got) >= 0.8 * len(exact), (len(got), len(exact))
+
+
+def test_embedding_near_dupes_size_guard(spark):
+    import pytest
+
+    from lucene_rust_spark.operators.dedup import embedding_near_dupes
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(30)], "id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="all-pairs"):
+        embedding_near_dupes(emb, max_rows=10)
