@@ -367,6 +367,15 @@ def _engine_topk_by_field(spark, sf_dir):
     )
 
 
+def _engine_facets_lang(spark, sf_dir):
+    """Facet counts (SortedSetDocValuesFacetCounts analog): lang value
+    counts over the docs matching 'merge', top 10 by (count desc, lang)."""
+    from lucene_rust_spark.entry_helpers import gate_searcher
+
+    s = gate_searcher(spark, sf_dir)
+    return s.facet_counts({"type": "term", "term": "merge"}, "lang", top_n=10)
+
+
 def _engine_count_threshold(spark, sf_dir):
     from lucene_rust_spark.entry_helpers import gate_searcher
 
@@ -490,6 +499,13 @@ _ENGINE_QUERIES = {
         "FROM tk JOIN documents d USING (doc_id) "
         "WHERE list_contains(toks, 'merge') "
         "ORDER BY d.lang ASC, path DESC LIMIT 15",
+    ),
+    "engine_facets_lang": (
+        _engine_facets_lang,
+        f"{_TOKS_CTE} SELECT d.lang, count(*)::BIGINT AS count "
+        "FROM tk JOIN documents d ON tk.doc_id = d.doc_id "
+        "WHERE list_contains(toks, 'merge') "
+        "GROUP BY d.lang ORDER BY count DESC, d.lang ASC LIMIT 10",
     ),
     "engine_count_threshold": (
         _engine_count_threshold,

@@ -1027,6 +1027,57 @@ class IndexSearcher:
         out_cols = ["doc_id"] + (["score"] if need_score else []) + field_cols
         return base.orderBy(*order).limit(k).select(*out_cols)
 
+    def facet_counts(self, query: dict, field: str, top_n: int = 10) -> DataFrame:
+        """Facet counting over stored docmap fields — the
+        SortedSetDocValuesFacetCounts analog (doc values declared at
+        clt/codecs/lucene90/mod.rs:7-9 [stub]; the docmap IS the columnar
+        per-doc store here): value counts of `field` over the MATCHING doc
+        set, ordered (count desc, value asc), top_n rows. Unscored — the
+        plan is match-set semi-join + hash aggregate, no sort of the
+        world, no scoring."""
+        if field not in self.docmap.columns:
+            raise ValueError(f"unknown facet field (not in docmap): {field}")
+        matches = self.matching_docs_df(query)
+        return (
+            self.docmap.select("doc_id", field)
+            .join(matches, "doc_id", "left_semi")
+            .groupBy(field)
+            .agg(F.count("*").cast("long").alias("count"))
+            .orderBy(F.desc("count"), F.asc(field))
+            .limit(top_n)
+        )
+
+    def rescore(
+        self,
+        first_pass: DataFrame,
+        rescore_query: dict,
+        weight: float = 1.0,
+        k: int = 10,
+    ) -> DataFrame:
+        """QueryRescorer (Lucene's query rescoring API; Rescorer surface
+        clt/search/mod.rs [stub]): combined = first_pass_score + weight *
+        rescore_score for docs matching the rescore query, else the
+        first-pass score alone — applied only to the first-pass window
+        (`first_pass` = search_df(..., k=N)), then re-sorted to top-k.
+        float32 combine, pinned order."""
+        w = F.lit(float(np.float32(weight))).cast("float")
+        rs = self.hits_df(rescore_query, k, prune=False).select(
+            "doc_id", F.col("score").alias("rs")
+        )
+        combined = (
+            first_pass.join(rs, "doc_id", "left")
+            .select(
+                "doc_id",
+                (
+                    F.col("score")
+                    + (w * F.coalesce(F.col("rs"), F.lit(0.0).cast("float"))).cast("float")
+                )
+                .cast("float")
+                .alias("score"),
+            )
+        )
+        return combined.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def count(self, query: dict) -> int:
         """TotalHitCountCollector (clt/search/mod.rs:161): exact hit count
         over the unscored matching doc set — no scoring, no global sort."""

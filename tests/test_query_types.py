@@ -243,3 +243,40 @@ def test_multi_similarity_is_mean_of_subs(spark, t1_index, oracle_idx):
             / np.float32(2.0)
         )
         assert np.float32(sc) == want, (d, sc, want)
+
+
+def test_facet_counts(searcher):
+    """Facets == groupBy over the matching doc set (pandas recompute)."""
+    q = bool_query(should=["merge", "window"])
+    match = searcher.matching_docs_df(q).join(searcher.docmap, "doc_id").toPandas()
+    want = (
+        match.groupby("lang").size().reset_index(name="count")
+        .sort_values(["count", "lang"], ascending=[False, True])
+        .head(3)
+    )
+    got = searcher.facet_counts(q, "lang", top_n=3).toPandas()
+    assert got["lang"].tolist() == want["lang"].tolist()
+    assert got["count"].tolist() == want["count"].tolist()
+    with pytest.raises(ValueError):
+        searcher.facet_counts(q, "nope")
+
+
+def test_query_rescorer(searcher, oracle_idx):
+    """QueryRescorer: combined = first + w * rescore on the first-pass
+    window, float32; docs not matching the rescore query keep their
+    first-pass score; result limited to the window (never widened)."""
+    import numpy as np
+
+    q1 = bool_query(should=["merge", "window"])
+    q2 = term_query("value")
+    first = searcher.search_df(q1, k=30)
+    out = {r["doc_id"]: r["score"] for r in searcher.rescore(first, q2, weight=2.0, k=10).collect()}
+    base = dict(searcher.search(q1, k=30))
+    rsc = dict(searcher.search(q2, k=searcher.doc_count))
+    for d, s in out.items():
+        expect = np.float32(
+            np.float32(base[d]) + np.float32(np.float32(2.0) * np.float32(rsc.get(d, 0.0)))
+        )
+        assert np.float32(s) == expect, d
+    # the rescored top-k only contains first-pass window docs
+    assert set(out) <= set(base)
