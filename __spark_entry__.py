@@ -367,6 +367,23 @@ def _engine_topk_by_field(spark, sf_dir):
     )
 
 
+def _engine_payload_sum(spark, sf_dir):
+    """Payloads postings flag end-to-end (postings_enum.rs:70-76 +
+    PayloadScoreQuery sum function): per-doc sum of the payload bytes
+    (gate payload = position mod 7, occurrence-specific) over 'merge'
+    occurrences, decoded from the index."""
+    from pyspark.sql import functions as F
+
+    from lucene_rust_spark.entry_helpers import doc_id_from_path, gate_searcher
+
+    s = gate_searcher(spark, sf_dir)
+    ps = s.payload_score("merge", fn="sum")
+    return doc_id_from_path(s.fetch(ps)).select(
+        F.col("orig_doc_id").alias("doc_id"),
+        F.col("score").cast("long").alias("pay_sum"),
+    )
+
+
 def _engine_facets_lang(spark, sf_dir):
     """Facet counts (SortedSetDocValuesFacetCounts analog): lang value
     counts over the docs matching 'merge', top 10 by (count desc, lang)."""
@@ -499,6 +516,12 @@ _ENGINE_QUERIES = {
         "FROM tk JOIN documents d USING (doc_id) "
         "WHERE list_contains(toks, 'merge') "
         "ORDER BY d.lang ASC, path DESC LIMIT 15",
+    ),
+    "engine_payload_sum": (
+        _engine_payload_sum,
+        # engine positions are 0-based; _POS_CTE generates 1-based
+        f"{_POS_CTE} SELECT doc_id, sum((pos - 1) % 7)::BIGINT AS pay_sum "
+        "FROM pos WHERE term = 'merge' GROUP BY doc_id",
     ),
     "engine_facets_lang": (
         _engine_facets_lang,

@@ -24,6 +24,15 @@ def documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gate_payload_fn(tokens, positions):
+    """Gate payload byte: position mod 7 — occurrence-specific (unlike a
+    token-type payload, which is constant per term) and exactly
+    replicable by a SQL oracle over the position stream."""
+    import numpy as np
+
+    return (positions % 7).astype(np.uint8)
+
+
 def gate_searcher(spark: SparkSession, sf_dir: str):
     """Build (or reuse) the engine index for sf_dir's documents table and
     return an IndexSearcher. The index is cached on disk across calls."""
@@ -50,11 +59,12 @@ def gate_searcher(spark: SparkSession, sf_dir: str):
         or m.get("format_version", 1) < 2
         or not m.get("positions")
         or not m.get("offsets")
+        or not m.get("payloads")
         or m.get("content_sha256_xor") != src_xor
     ):
         build_index(
             spark, src, out, num_partitions=8, resume=False,
-            positions=True, offsets=True,
+            positions=True, offsets=True, payloads=gate_payload_fn,
         )
     s = IndexSearcher(spark, out, cache=True)
     _SEARCHERS[key] = s

@@ -161,3 +161,21 @@ def term_counts_series(s: pd.Series) -> pd.Series:
         return sorted(Counter(ts).items())
 
     return tokenize_series(s).map(_count)
+
+
+def default_payload_fn(tokens, positions):
+    """Default per-occurrence payload byte (PayloadAttribute analog,
+    clt/analysis/token_stream.rs token attributes): token-type classifier
+    0 = alphabetic word, 1 = all-digit number, 2 = mixed/other — the
+    StandardTokenizer token-type lattice reduced to a byte. Vectorized:
+    (tokens object[], positions int64[]) -> uint8[]. Custom build-time
+    payload functions use the same signature."""
+    import numpy as np
+
+    out = np.full(len(tokens), 2, dtype=np.uint8)
+    for i, t in enumerate(tokens):
+        if t.isdigit():
+            out[i] = 1
+        elif t.isalpha():
+            out[i] = 0
+    return out

@@ -173,7 +173,7 @@ _BLOCK_SCHEMA = (
     "term string, seg int, block_no int, n int, first_doc long, last_doc long, "
     "max_tf int, min_dlq int, sum_tf long, docs_bin binary, tfs_bin binary, "
     "dlq_bin binary, pos_bin binary, offs_bin binary, olen_bin binary, "
-    "imp_tf array<int>, imp_dlq array<int>"
+    "pay_bin binary, imp_tf array<int>, imp_dlq array<int>"
 )
 
 
@@ -197,7 +197,7 @@ def block_impacts(tfs: np.ndarray, dlqs: np.ndarray) -> tuple[list[int], list[in
 def _pack_runs(
     term_arr, seg_arr, docs, tfs, dlqs, term_values=None,
     pos_flat=None, pos_offsets=None, pfor=False,
-    off_start_flat=None, off_len_flat=None,
+    off_start_flat=None, off_len_flat=None, pay_flat=None,
 ) -> pd.DataFrame | None:
     """Vectorized block packing for a (term, seg, doc_id)-sorted slice that
     contains only COMPLETE runs. Block boundaries + per-block stats are
@@ -273,6 +273,16 @@ def _pack_runs(
     else:
         offs_bin = [b""] * len(bstarts)
         olen_bin = [b""] * len(bstarts)
+    if pay_flat is not None:
+        # payloads (postings_enum.rs:70-76 Payloads flag): one raw byte
+        # per occurrence, stored like the norm bytes — no packing needed
+        pay_u8 = pay_flat.astype(np.uint8)
+        pay_bin = [
+            pay_u8[pos_offsets[s] : pos_offsets[e]].tobytes()
+            for s, e in zip(bstarts, bends)
+        ]
+    else:
+        pay_bin = [b""] * len(bstarts)
     out_terms = term_arr[bstarts] if term_values is None else term_values[term_arr[bstarts]]
     return pd.DataFrame(
         {
@@ -291,6 +301,7 @@ def _pack_runs(
             "pos_bin": pos_bin,
             "offs_bin": offs_bin,
             "olen_bin": olen_bin,
+            "pay_bin": pay_bin,
             "imp_tf": [i[0] for i in impacts],
             "imp_dlq": [i[1] for i in impacts],
         }
@@ -342,6 +353,7 @@ def _pack_partition(batches):
 def _count_batch(
     doc_ids: np.ndarray, parts: np.ndarray, content: pd.Series, positions: bool = False,
     stop_words=None, char_filters=None, word_break="simple", offsets: bool = False,
+    payload_fn=None,
 ):
     """Vectorized per-batch term counting → flat (doc, seg, dlq, code, tf)
     pair arrays + batch vocab. With positions=True also returns the ragged
@@ -363,7 +375,7 @@ def _count_batch(
         empty = np.zeros(0, dtype=np.int64)
         return (empty, empty.astype(np.int32), empty.astype(np.uint8),
                 empty, empty.astype(np.int32), np.zeros(0, dtype=object), empty, dl,
-                empty, empty)
+                empty, empty, empty.astype(np.uint8))
     all_tokens = np.empty(total, dtype=object)
     starts_all = np.zeros(total, dtype=np.int64) if offsets else None
     ends_all = np.zeros(total, dtype=np.int64) if offsets else None
@@ -400,6 +412,12 @@ def _count_batch(
     else:
         off_start_flat = np.zeros(0, dtype=np.int64)
         off_len_flat = np.zeros(0, dtype=np.int64)
+    if payload_fn is not None:
+        pay_flat = np.asarray(
+            payload_fn(all_tokens, pos_in_doc), dtype=np.uint8
+        )[order]
+    else:
+        pay_flat = np.zeros(0, dtype=np.uint8)
     pair_doc_idx = uk // n_u
     pair_code = (uk % n_u).astype(np.int64)
     return (
@@ -413,10 +431,11 @@ def _count_batch(
         dl,
         off_start_flat,
         off_len_flat,
+        pay_flat,
     )
 
 
-def _dwpt_partition(batches, positions: bool = False, stop_words=None, char_filters=None, pfor=False, word_break="simple", offsets: bool = False):
+def _dwpt_partition(batches, positions: bool = False, stop_words=None, char_filters=None, pfor=False, word_break="simple", offsets: bool = False, payload_fn=None):
     """mapInPandas kernel — the DocumentsWriterPerThread analog
     (clt/index/mod.rs:33): this task holds complete segments (docs are
     hash-routed by part), accumulates per-doc term counts across Arrow
@@ -431,7 +450,7 @@ def _dwpt_partition(batches, positions: bool = False, stop_words=None, char_filt
     full-corpus tokenize just to count tokens."""
     acc = []
     pos_acc = []
-    ostart_acc, olen_acc = [], []
+    ostart_acc, olen_acc, pay_acc = [], [], []
     norm_docs, norm_parts, norm_dls = [], [], []
     vocab: dict = {}
     vocab_list: list = []
@@ -439,10 +458,10 @@ def _dwpt_partition(batches, positions: bool = False, stop_words=None, char_filt
         b_doc_ids = pdf["doc_id"].to_numpy(np.int64)
         b_parts = pdf["part"].to_numpy(np.int64)
         (docs_b, segs_b, dlqs_b, codes_b, tfs_b, uniques_b, pos_b, dl_b,
-         ostart_b, olen_b) = _count_batch(
+         ostart_b, olen_b, pay_b) = _count_batch(
             b_doc_ids, b_parts, pdf["content"], positions,
             stop_words=stop_words, char_filters=char_filters, word_break=word_break,
-            offsets=offsets,
+            offsets=offsets, payload_fn=payload_fn,
         )
         norm_docs.append(b_doc_ids)
         norm_parts.append(b_parts)
@@ -450,6 +469,7 @@ def _dwpt_partition(batches, positions: bool = False, stop_words=None, char_filt
         pos_acc.append(pos_b)
         ostart_acc.append(ostart_b)
         olen_acc.append(olen_b)
+        pay_acc.append(pay_b)
         # remap batch-local term codes into the task-level vocabulary
         remap = np.empty(len(uniques_b), dtype=np.int64)
         for j, term in enumerate(uniques_b):
@@ -495,7 +515,7 @@ def _dwpt_partition(batches, positions: bool = False, stop_words=None, char_filt
     order = np.lexsort((docs, segs, codes))
     vocab_arr = np.asarray(vocab_list, dtype=object)
     pos_flat = pos_offsets = None
-    off_start_flat = off_len_flat = None
+    off_start_flat = off_len_flat = pay_flat = None
     if positions:
         # ragged reorder of per-pair position slices, fully vectorized;
         # the offset streams are aligned 1:1 with the position stream, so
@@ -512,10 +532,13 @@ def _dwpt_partition(batches, positions: bool = False, stop_words=None, char_filt
         if offsets:
             off_start_flat = np.concatenate(ostart_acc)[gather]
             off_len_flat = np.concatenate(olen_acc)[gather]
+        if payload_fn is not None:
+            pay_flat = np.concatenate(pay_acc)[gather]
     out = _pack_runs(
         codes[order], segs[order], docs[order], tfs[order], dlqs[order],
         term_values=vocab_arr, pos_flat=pos_flat, pos_offsets=pos_offsets,
         pfor=pfor, off_start_flat=off_start_flat, off_len_flat=off_len_flat,
+        pay_flat=pay_flat,
     )
     if out is not None and len(out):
         step = 65536
@@ -655,8 +678,11 @@ def build_index(
     codec: str = "for",
     word_break: str = "simple",
     offsets: bool = False,
+    payloads=None,
 ) -> dict:
     """Build the full index under out_dir. Returns the committed manifest.
+    payloads: None (off) | True (default token-type payload byte per
+    occurrence) | a vectorized callable (tokens, positions) -> uint8[].
 
     Three checkpointed phases (each resumable, north_rule resumability;
     the checkpoint files are the SegmentCommitInfo analogs):
@@ -674,6 +700,8 @@ def build_index(
         raise ValueError("word_break='uax29' requires analyzer='dwpt'")
     if offsets and not positions:
         raise ValueError("offsets=True requires positions=True")
+    if payloads and not positions:
+        raise ValueError("payloads require positions=True")
     t_start = time.time()
     # shuffle_width = physical task fan-out for the heavy stages; decoupled
     # from num_partitions (the logical segment count) so CPU-bound kernel
@@ -695,7 +723,7 @@ def build_index(
             spark, src_for_groups, out_dir, g, num_groups, num_partitions,
             width=width, analyzer=analyzer, positions=positions, resume=resume,
             stop_words=stop_words, char_filters=char_filters, codec=codec,
-            word_break=word_break, offsets=offsets,
+            word_break=word_break, offsets=offsets, payloads=payloads,
         )
         group_stats.append(gs)
 
@@ -731,6 +759,7 @@ def build_index(
         "stop_words": sorted(stop_words) if stop_words else None,
         "word_break": word_break,
         "offsets": bool(offsets),
+        "payloads": bool(payloads),
         "char_filters": [list(cf) for cf in char_filters] if char_filters else None,
         "codec": codec,
         "doc_count": doc_count,
@@ -773,6 +802,7 @@ def build_group_job(
     codec: str = "for",
     word_break: str = "simple",
     offsets: bool = False,
+    payloads=None,
 ) -> dict:
     """Build exactly one checkpoint group and write its checkpoint — the
     unit of distributed work: independent group-builder processes (or a
@@ -806,7 +836,7 @@ def build_group_job(
     gs = _build_group(
         docs, out_dir, g, num_groups, width, analyzer, positions,
         stop_words=stop_words, char_filters=char_filters, codec=codec,
-        word_break=word_break, offsets=offsets,
+        word_break=word_break, offsets=offsets, payloads=payloads,
     )
     with open(ck_path + ".tmp", "w") as f:
         json.dump(gs, f)
@@ -842,7 +872,7 @@ def _build_group(
     analyzer: str = "dwpt", positions: bool = False,
     postings_dirname: str = "postings",
     stop_words=None, char_filters=None, codec: str = "for",
-    word_break: str = "simple", offsets: bool = False,
+    word_break: str = "simple", offsets: bool = False, payloads=None,
 ) -> dict:
     """Build one checkpoint group from its (pre-filtered) slice of the
     corpus. With the dwpt analyzer the slice's content is read EXACTLY
@@ -922,10 +952,14 @@ def _build_group(
         sw = frozenset(stop_words) if stop_words else None
         cf = tuple(tuple(c) for c in char_filters) if char_filters else None
 
-        def dwpt(batches, _p=positions, _sw=sw, _cf=cf, _pf=(codec == "pfor"), _wb=word_break, _of=offsets):
+        from lucene_rust_spark.functions.analysis import default_payload_fn
+
+        pfn = default_payload_fn if payloads is True else (payloads or None)
+
+        def dwpt(batches, _p=positions, _sw=sw, _cf=cf, _pf=(codec == "pfor"), _wb=word_break, _of=offsets, _pl=pfn):
             return _dwpt_partition(
                 batches, positions=_p, stop_words=_sw, char_filters=_cf, pfor=_pf,
-                word_break=_wb, offsets=_of,
+                word_break=_wb, offsets=_of, payload_fn=_pl,
             )
 
         # persist before repartitionByRange: the range sampling pass would

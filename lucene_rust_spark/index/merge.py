@@ -26,7 +26,7 @@ from lucene_rust_spark.index.build import _BLOCK_SCHEMA, _pack_runs
 from lucene_rust_spark.index.manifest import commit_manifest, read_manifest
 
 
-def _repack_partition(batches, positions: bool = False, pfor: bool = False, offsets: bool = False):
+def _repack_partition(batches, positions: bool = False, pfor: bool = False, offsets: bool = False, payloads: bool = False):
     """Input: block rows sorted by (term, mseg, seg, block_no) — every
     (term, mseg) run is a globally docID-sorted sequence of packed blocks
     from fan_in source segments. Decode, concatenate, re-pack. Streaming
@@ -39,15 +39,16 @@ def _repack_partition(batches, positions: bool = False, pfor: bool = False, offs
 
     def decode_rows(pdf: pd.DataFrame):
         terms, msegs, docs, tfs, dlqs, pos = [], [], [], [], [], []
-        ostarts, olens = [], []
+        ostarts, olens, pays = [], [], []
         for row in zip(
             pdf["term"], pdf["mseg"], pdf["n"], pdf["first_doc"],
             pdf["docs_bin"], pdf["tfs_bin"], pdf["dlq_bin"],
             pdf["pos_bin"] if positions else pdf["term"],
             pdf["offs_bin"] if offsets else pdf["term"],
             pdf["olen_bin"] if offsets else pdf["term"],
+            pdf["pay_bin"] if payloads else pdf["term"],
         ):
-            term, mseg, n, first_doc, db, tb, qb, pb, ob, lb = row
+            term, mseg, n, first_doc, db, tb, qb, pb, ob, lb, yb = row
             n = int(n)
             d = np.int64(first_doc) + np.cumsum(K.for_unpack(bytes(db), n)).astype(np.int64)
             docs.append(d)
@@ -74,6 +75,8 @@ def _repack_partition(batches, positions: bool = False, pfor: bool = False, offs
                     np.maximum.accumulate(obase, out=obase)
                     ostarts.append(ocs - obase)
                     olens.append(K.for_unpack(bytes(lb), total).astype(np.int64))
+                if payloads:
+                    pays.append(np.frombuffer(bytes(yb), dtype=np.uint8).astype(np.int64))
         if not docs:
             return None
         out = [
@@ -88,6 +91,8 @@ def _repack_partition(batches, positions: bool = False, pfor: bool = False, offs
         if offsets:
             out.append(np.concatenate(ostarts) if ostarts else np.zeros(0, dtype=np.int64))
             out.append(np.concatenate(olens) if olens else np.zeros(0, dtype=np.int64))
+        if payloads:
+            out.append(np.concatenate(pays) if pays else np.zeros(0, dtype=np.int64))
         return tuple(out)
 
     def split_tail(cols):
@@ -101,8 +106,12 @@ def _repack_partition(batches, positions: bool = False, pfor: bool = False, offs
             tfs = cols[3]
             po = np.concatenate(([0], np.cumsum(tfs)))
             kw = {}
+            i = 6
             if offsets:
-                kw = {"off_start_flat": cols[6], "off_len_flat": cols[7]}
+                kw["off_start_flat"], kw["off_len_flat"] = cols[6], cols[7]
+                i = 8
+            if payloads:
+                kw["pay_flat"] = cols[i]
             return _pack_runs(*cols[:5], pos_flat=cols[5], pos_offsets=po, pfor=pfor, **kw)
         return _pack_runs(*cols, pfor=pfor)
 
@@ -182,6 +191,7 @@ def merge_segments(
     assert m is not None
     positions = bool(m.get("positions"))
     offsets = bool(m.get("offsets"))
+    payloads = bool(m.get("payloads"))
     postings = spark.read.parquet(
         os.path.join(index_dir, m.get("postings_dir", "postings"))
     )
@@ -207,11 +217,13 @@ def merge_segments(
         cols.append("pos_bin")
     if offsets:
         cols.extend(["offs_bin", "olen_bin"])
+    if payloads:
+        cols.append("pay_bin")
 
     pfor = m.get("codec") == "pfor"
 
-    def repack(batches, _p=positions, _pf=pfor, _o=offsets):
-        return _repack_partition(batches, positions=_p, pfor=_pf, offsets=_o)
+    def repack(batches, _p=positions, _pf=pfor, _o=offsets, _y=payloads):
+        return _repack_partition(batches, positions=_p, pfor=_pf, offsets=_o, payloads=_y)
 
     to_repack = keyed
     passthrough = None

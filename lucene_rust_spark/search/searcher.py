@@ -338,6 +338,76 @@ class IndexSearcher:
             decode, schema="term string, doc_id long, pos long, start long, end long"
         )
 
+    def term_payloads(self, terms: list[str]) -> DataFrame:
+        """(term, doc_id, pos, payload) — one row per occurrence with its
+        payload byte (clt/index/postings_enum.rs:70-76, the Payloads
+        postings flag; written by build_index(payloads=...))."""
+        if not self.manifest.get("payloads"):
+            raise ValueError(
+                "index was built without payloads (build_index(payloads=True))"
+            )
+        blocks = self.postings.filter(F.col("term").isin(list(terms))).select(
+            "term", "n", "first_doc", "docs_bin", "tfs_bin", "pos_bin", "pay_bin"
+        )
+
+        def decode(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                terms_o, docs_o, pos_o, pay_o = [], [], [], []
+                for term, n, first_doc, db, tb, pb, yb in zip(
+                    pdf["term"], pdf["n"], pdf["first_doc"], pdf["docs_bin"],
+                    pdf["tfs_bin"], pdf["pos_bin"], pdf["pay_bin"],
+                ):
+                    n = int(n)
+                    docs = np.int64(first_doc) + np.cumsum(
+                        K.for_unpack(bytes(db), n)
+                    ).astype(np.int64)
+                    tfs = K.for_unpack(bytes(tb), n).astype(np.int64)
+                    total = int(tfs.sum())
+                    offs = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+                    cs = np.cumsum(K.for_unpack(bytes(pb), total).astype(np.int64))
+                    base = np.zeros(total, dtype=np.int64)
+                    base[offs[1:]] = cs[offs[1:] - 1]
+                    np.maximum.accumulate(base, out=base)
+                    terms_o.append(np.repeat(term, total))
+                    docs_o.append(np.repeat(docs, tfs))
+                    pos_o.append(cs - base)
+                    pay_o.append(np.frombuffer(bytes(yb), dtype=np.uint8).astype(np.int32))
+                if not terms_o:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "term": np.concatenate(terms_o),
+                        "doc_id": np.concatenate(docs_o),
+                        "pos": np.concatenate(pos_o),
+                        "payload": np.concatenate(pay_o),
+                    }
+                )
+
+        return blocks.mapInPandas(
+            decode, schema="term string, doc_id long, pos long, payload int"
+        )
+
+    def payload_score(self, term: str, fn: str = "sum") -> DataFrame:
+        """(doc_id, score float) — the PayloadScoreQuery analog (Lucene's
+        PayloadFunction lattice: min | max | sum | avg over the payload
+        bytes of the term's occurrences in each doc), live docs only."""
+        aggs = {
+            "sum": F.sum("payload"),
+            "max": F.max("payload"),
+            "min": F.min("payload"),
+            "avg": F.avg("payload"),
+        }
+        if fn not in aggs:
+            raise ValueError(f"fn must be one of {sorted(aggs)}: {fn!r}")
+        out = (
+            self.term_payloads([term])
+            .groupBy("doc_id")
+            .agg(aggs[fn].cast("float").alias("score"))
+        )
+        return self._drop_deleted(out)
+
     def snippets(
         self,
         query: dict,

@@ -58,6 +58,8 @@ def append_batch(
         postings_dirname=m.get("postings_dir", "postings"),
         word_break=m.get("word_break", "simple"),
         offsets=bool(m.get("offsets")),
+        payloads=bool(m.get("payloads")),  # default fn only; custom fns
+        # must rebuild (the manifest cannot serialize a callable)
     )
 
     # drop a possibly-stale record of this epoch (idempotent replay)

@@ -352,3 +352,69 @@ def test_offsets_roundtrip_and_snippets(spark, tmp_path):
         lo = max(r["start"] - 10, 0)
         assert r["snippet"] == t[lo : r["end"] + 10]
         assert "merge" in r["snippet"]
+
+
+def test_payloads_roundtrip_and_score(spark, tmp_path):
+    """payloads=True stores the default token-type byte per occurrence;
+    decode equals a direct recompute, survives a merge, and payload_score
+    implements the PayloadFunction lattice (sum/max/min/avg)."""
+    import pandas as pd
+
+    from lucene_rust_spark.functions.analysis import default_payload_fn, tokenize
+    from lucene_rust_spark.index.build import build_index
+    from lucene_rust_spark.index.merge import merge_segments
+    from lucene_rust_spark.oracle.bm25 import assign_doc_ids
+    from lucene_rust_spark.search.searcher import IndexSearcher
+
+    rows = []
+    for i in range(120):
+        text = f"alpha {i} mix{i % 3}x alpha beta {1000 + i}"
+        rows.append((f"r{i % 2}", f"p/{i:03d}", "c", "py", text))
+    pdf = pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+    out = str(tmp_path / "pay")
+    build_index(
+        spark, spark.createDataFrame(pdf), out,
+        num_partitions=2, positions=True, payloads=True,
+    )
+    adf = assign_doc_ids(pdf, 2)
+    s = IndexSearcher(spark, out, cache=True)
+
+    def expect_payloads(term):
+        import numpy as np
+
+        want = []
+        for did, text in zip(adf["doc_id"], adf["content"]):
+            toks = tokenize(text)
+            pays = default_payload_fn(
+                np.array(toks, dtype=object), np.arange(len(toks), dtype=np.int64)
+            )
+            for p, (t, y) in enumerate(zip(toks, pays)):
+                if t == term:
+                    want.append((int(did), p, int(y)))
+        return want
+
+    for term in ["alpha", "1000", "mix0x"]:
+        got = [
+            (r["doc_id"], r["pos"], r["payload"])
+            for r in s.term_payloads([term]).orderBy("doc_id", "pos").collect()
+        ]
+        assert got == expect_payloads(term), term
+    # token-type classification sanity: word=0, digits=1, mixed=2
+    assert {r["payload"] for r in s.term_payloads(["alpha"]).collect()} == {0}
+    assert {r["payload"] for r in s.term_payloads(["1000"]).collect()} == {1}
+    assert {r["payload"] for r in s.term_payloads(["mix0x"]).collect()} == {2}
+
+    merge_segments(spark, out, fan_in=2)
+    s2 = IndexSearcher(spark, out)
+    got2 = [
+        (r["doc_id"], r["pos"], r["payload"])
+        for r in s2.term_payloads(["alpha"]).orderBy("doc_id", "pos").collect()
+    ]
+    assert got2 == expect_payloads("alpha")
+
+    # payload_score: alpha appears 3x per doc with payload 0 -> sum 0;
+    # the numeric term scores 1 per occurrence
+    sums = {r["doc_id"]: r["score"] for r in s2.payload_score("1000", "sum").collect()}
+    assert set(sums.values()) == {1.0}
+    avgs = {r["doc_id"]: r["score"] for r in s2.payload_score("alpha", "avg").collect()}
+    assert set(avgs.values()) == {0.0}
