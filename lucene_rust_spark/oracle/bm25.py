@@ -300,6 +300,11 @@ def oracle_search(
         return _rank(dids, scores, k, search_after)
 
     must, should, must_not, msm = query_terms(q)
+    if msm > len(set(should)):
+        # Lucene BooleanWeight: fewer SHOULD scorers than
+        # minimumNumberShouldMatch matches nothing — including the
+        # should-less case (msm > 0 with no optional clauses)
+        return []
     n = idx.doc_count
     scoring = sorted(set(must) | set(should))
     score_acc = np.zeros(n, dtype=np.float32)
