@@ -241,3 +241,45 @@ def oracle_cross_field(sub_oracles: dict, query: dict, k: int = 10):
         (np.array([d for d, _ in out]), -np.array([s for _, s in out], dtype=np.float64))
     )[:k] if out else []
     return [out[i] for i in order]
+
+
+def weighted_fields_df(
+    ms: MultiFieldSearcher,
+    term: str,
+    field_weights: dict[str, float],
+    k: int = 10,
+) -> DataFrame:
+    """BM25F-flavored weighted field combination (Robertson & Zaragoza's
+    published BM25F reduces to a weighted sum of per-field BM25 scores
+    when per-field norms/stats are kept — exactly what the per-field
+    sub-indexes store): score(d) = float32 fold over fields ascending of
+    w_f * bm25_f(term, d). Fields absent from the index or missing the
+    term contribute 0."""
+    from lucene_rust_spark.search.searcher import _f32_fold
+
+    labeled = []
+    for f in sorted(field_weights):
+        if f not in ms.sub:
+            raise KeyError(f"field {f!r} is not indexed (have {ms.fields})")
+        sub = ms.sub[f]
+        stats = sub.term_stats([term])
+        if term not in stats:
+            continue
+        w = F.lit(float(np.float32(field_weights[f]))).cast("float")
+        scored = sub._scored_postings([term], stats).select(
+            "doc_id",
+            F.concat(F.lit(f + ":"), F.col("term")).alias("term"),
+            (F.col("score") * w).cast("float").alias("score"),
+        )
+        labeled.append(sub._drop_deleted(scored))
+    if not labeled:
+        return ms.spark.createDataFrame([], "doc_id long, score float")
+    scored = labeled[0]
+    for df in labeled[1:]:
+        scored = scored.unionByName(df)
+    hits = (
+        scored.groupBy("doc_id")
+        .agg(F.collect_list(F.struct("term", "score")).alias("parts"))
+        .select("doc_id", _f32_fold(F.col("parts")).alias("score"))
+    )
+    return hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -131,3 +131,37 @@ def stream_append(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def update_documents(
+    spark: SparkSession,
+    source: DataFrame,
+    index_dir: str,
+    epoch: int,
+    num_partitions: int = 8,
+) -> dict:
+    """IndexWriter.updateDocument analog (clt/index/mod.rs:77 [stub];
+    Lucene semantics: delete-then-add under one commit point): tombstone
+    every live doc whose identity key (repo, path) appears in the batch,
+    then append the batch as new segments. The delete resolves doc_ids
+    through a broadcast semi-join of the docmap against the batch's keys
+    — no scan of postings — and the append reuses the epoch-namespaced
+    exactly-once machinery, so replays are idempotent for both halves."""
+    from lucene_rust_spark.index.deletes import delete_by_ids
+    from lucene_rust_spark.search.searcher import IndexSearcher
+
+    s = IndexSearcher(spark, index_dir)
+    keys = source.select("repo", "path").distinct()
+    stale = s.docmap.join(F.broadcast(keys), ["repo", "path"], "left_semi").select(
+        "doc_id"
+    )
+    # never tombstone THIS epoch's own part-id namespace: a replayed
+    # update re-appends identical doc_ids there, and deleting them first
+    # would kill the re-added docs (idempotency of the delete half)
+    lo = (epoch + 1) * EPOCH_PART_STRIDE
+    part = F.shiftright("doc_id", PARTITION_SHIFT)
+    stale = stale.filter((part < lo) | (part >= lo + EPOCH_PART_STRIDE))
+    stale = s._drop_deleted(stale)
+    if stale.limit(1).count():
+        delete_by_ids(spark, index_dir, stale)
+    return append_batch(spark, source, index_dir, epoch, num_partitions)

@@ -423,3 +423,82 @@ def test_lucene_sloppy_repeats_raise(pos_searcher):
 
     with pytest.raises(NotImplementedError):
         pos_searcher.count(phrase_query(["merge", "merge"], slop=1, slop_mode="lucene"))
+
+
+def test_weighted_fields_bm25f(spark, tmp_path):
+    """BM25F-style weighted field sum: engine == per-field oracle scores
+    combined with the same pinned fold and weights (float32)."""
+    from lucene_rust_spark.corpus import gen_corpus_pandas, gen_corpus_spark
+    from lucene_rust_spark.oracle.bm25 import build_oracle_index, oracle_search
+    from lucene_rust_spark.search.multifield import (
+        MultiFieldSearcher,
+        build_multi_field_index,
+        weighted_fields_df,
+    )
+
+    out = str(tmp_path / "mfw")
+    src = gen_corpus_spark(spark, 250, 4)
+    build_multi_field_index(spark, src, out, fields=("content", "path"),
+                            num_partitions=4)
+    ms = MultiFieldSearcher(spark, out, cache=True)
+    pdf = gen_corpus_pandas(250)
+    oracles = {}
+    for f in ("content", "path"):
+        odf = pdf[["repo", "path", "commit", "lang"]].copy()
+        odf["content"] = pdf[f].astype(str)
+        oracles[f] = build_oracle_index(odf, 4)
+
+    term, weights = "merge", {"content": 1.0, "path": 3.0}
+    got = {
+        r["doc_id"]: r["score"]
+        for r in weighted_fields_df(ms, term, weights, k=20).collect()
+    }
+    assert got
+    # oracle recompute: w_f * per-field score, f32 fold in field order
+    per_field = {
+        f: dict(oracle_search(oracles[f], {"type": "term", "term": term},
+                              k=oracles[f].doc_count))
+        for f in weights
+    }
+    for d, s in got.items():
+        acc = np.float32(0.0)
+        for f in sorted(weights):  # 'content:' < 'path:' — label order
+            if d in per_field[f]:
+                acc = np.float32(
+                    acc + np.float32(np.float32(weights[f]) * np.float32(per_field[f][d]))
+                )
+        assert np.float32(s) == acc, d
+
+
+def test_update_documents(spark, tmp_path):
+    """updateDocument: re-adding docs with the same (repo, path) replaces
+    them — old versions tombstoned, new content searchable, doc_count of
+    LIVE docs unchanged."""
+    from lucene_rust_spark.corpus import gen_corpus_spark
+    from lucene_rust_spark.index.build import build_index
+    from lucene_rust_spark.search.searcher import IndexSearcher
+    from lucene_rust_spark.streaming.incremental import update_documents
+
+    out = str(tmp_path / "upd")
+    src = gen_corpus_spark(spark, 200, 4).persist()
+    build_index(spark, src, out, num_partitions=4)
+    s0 = IndexSearcher(spark, out)
+    n_live0 = s0.count({"type": "match_all"})
+    assert n_live0 == 200
+
+    # replace 30 docs: same keys, new content with a marker token
+    batch = (
+        src.limit(30)
+        .withColumn("content", F.concat(F.lit("updated_marker_tok "), F.col("content")))
+    )
+    update_documents(spark, batch, out, epoch=0, num_partitions=4)
+    s1 = IndexSearcher(spark, out)
+    assert s1.count({"type": "match_all"}) == 200  # live count unchanged
+    assert s1.count({"type": "term", "term": "updated_marker_tok"}) == 30
+    # idempotent replay of the same epoch: append half is overwritten,
+    # delete half re-tombstones the same (already dead) docs
+    update_documents(spark, batch, out, epoch=0, num_partitions=4)
+    s2 = IndexSearcher(spark, out)
+    assert s2.count({"type": "match_all"}) == 200
+    assert s2.count({"type": "term", "term": "updated_marker_tok"}) == 30
+    src.unpersist()
