@@ -40,6 +40,7 @@ from lucene_rust_spark.search.rewrite import (
 
 MAX_CLAUSE_COUNT = 1024  # clt/search/index_searcher.rs:1
 PRUNE_MIN_POSTINGS = 2_000_000  # WAND auto-on crossover (see search_df)
+DRIVER_EXEC_MAX_POSTINGS = 100_000  # small-query driver path (see search_df)
 
 
 def _f32_fold(parts_col) -> "F.Column":
@@ -80,6 +81,7 @@ def _dismax_fold(parts_col, tie: float) -> "F.Column":
 
 class IndexSearcher:
     PRUNE_MIN_POSTINGS = PRUNE_MIN_POSTINGS  # override per-instance to tune
+    DRIVER_EXEC_MAX_POSTINGS = DRIVER_EXEC_MAX_POSTINGS  # 0 = always distributed
 
     def __init__(
         self,
@@ -875,8 +877,131 @@ class IndexSearcher:
             b = F.lit(float(query["boost"])).cast("float")
             inner = self.search_df(query["query"], k, search_after, prune)
             return inner.select("doc_id", (F.col("score") * b).cast("float").alias("score"))
+        rows = self._driver_search_rows(query, k, search_after, prune)
+        if rows is not None:
+            if not rows:
+                return self._empty_result()
+            return self.spark.createDataFrame(
+                self.spark.sparkContext.parallelize(rows, 1),
+                "doc_id long, score float",
+            )
         hits = self.hits_df(query, k, search_after, prune)
         return self._finish(hits, k, search_after)
+
+    def _driver_match(self, query: dict, prune) -> tuple | None:
+        """Small-query driver execution core: when a term/bool query's
+        total posting volume is at most DRIVER_EXEC_MAX_POSTINGS, its
+        packed blocks are ~df/128 parquet rows — collect them and run the
+        whole query in numpy on the driver (exactly what a single Lucene
+        node does: read a handful of blocks). One Spark collect replaces
+        the decode stage + shuffle + TakeOrdered, removing the ~0.3-0.5 s
+        fixed job overhead that dominates small-query latency. Same
+        kernels, same float32 ascending-term combine, same tie order —
+        the golden suite runs through this path at test scale and stays
+        byte-identical. Returns (live_doc_ids, scores_f32) or None to
+        fall back to the distributed plan (big queries, forced WAND runs,
+        oversized tombstone sets)."""
+        if prune:  # an explicit prune=True run is asking for the WAND plan
+            return None
+        if query.get("type") not in ("term", "bool"):
+            return None
+        must, should, must_not, msm = query_terms(query)
+        n_clauses = len(must) + len(should) + len(must_not)
+        if n_clauses > MAX_CLAUSE_COUNT:
+            raise ValueError(f"too many clauses: {n_clauses} > {MAX_CLAUSE_COUNT}")
+        empty = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float32))
+        must_set, should_set = sorted(set(must)), sorted(set(should))
+        if msm > len(should_set):
+            return empty
+        scoring = sorted(set(must_set) | set(should_set))
+        mn_all = sorted(set(must_not))
+        stats = self.term_stats(sorted(set(scoring) | set(mn_all)))
+        if any(t not in stats for t in must_set):
+            return empty
+        scoring = [t for t in scoring if t in stats]
+        if not scoring:
+            return empty
+        mn_terms = [t for t in mn_all if t in stats]
+        all_terms = sorted(set(scoring) | set(mn_terms))
+        total = sum(stats[t]["doc_freq"] for t in all_terms)
+        if total > self.DRIVER_EXEC_MAX_POSTINGS:
+            return None
+        if self.tombstones is not None:
+            if self._tomb_count > 200_000:
+                return None
+            if not hasattr(self, "_tomb_ids"):
+                self._tomb_ids = np.array(
+                    sorted(r["doc_id"] for r in self.tombstones.collect()),
+                    dtype=np.int64,
+                )
+
+        from collections import defaultdict
+
+        rows = (
+            self.postings.filter(F.col("term").isin(all_terms))
+            .select("term", "n", "first_doc", "docs_bin", "tfs_bin", "dlq_bin")
+            .collect()
+        )
+        chunks = defaultdict(list)
+        for r in rows:
+            n = int(r["n"])
+            docs = np.int64(r["first_doc"]) + np.cumsum(
+                K.for_unpack(bytes(r["docs_bin"]), n)
+            ).astype(np.int64)
+            tfs = K.for_unpack(bytes(r["tfs_bin"]), n).astype(np.int64)
+            dlqs = np.frombuffer(bytes(r["dlq_bin"]), dtype=np.uint8).astype(np.int64)
+            chunks[r["term"]].append((docs, tfs, dlqs))
+        if not chunks:
+            return empty
+        term_arrays = {
+            t: tuple(np.concatenate(x) for x in zip(*lst)) for t, lst in chunks.items()
+        }
+        all_docs = np.unique(np.concatenate([a[0] for a in term_arrays.values()]))
+        acc = np.zeros(len(all_docs), dtype=np.float32)
+        n_must = np.zeros(len(all_docs), dtype=np.int32)
+        n_should = np.zeros(len(all_docs), dtype=np.int32)
+        n_not = np.zeros(len(all_docs), dtype=np.int32)
+        touched = np.zeros(len(all_docs), dtype=bool)
+        ms, ss, ns = set(must_set), set(should_set), set(mn_terms)
+        for t in sorted(term_arrays):  # ascending term — the pinned fold order
+            docs, tfs, dlqs = term_arrays[t]
+            idx = np.searchsorted(all_docs, docs)
+            if t in ms or t in ss:
+                s = self.sim.score(
+                    tfs, dlqs, np.full(len(tfs), np.float32(stats[t]["idf"]), np.float32)
+                )
+                acc[idx] = (acc[idx] + s).astype(np.float32)
+                touched[idx] = True
+            if t in ms:
+                n_must[idx] += 1
+            if t in ss:
+                n_should[idx] += 1
+            if t in ns:
+                n_not[idx] += 1
+        ok = touched
+        if must_set:
+            ok = ok & (n_must == len(must_set))
+        if should_set and (msm or not must_set):
+            ok = ok & (n_should >= max(msm, 0 if must_set else 1))
+        ok = ok & (n_not == 0)
+        docs_f, scores_f = all_docs[ok], acc[ok]
+        if self.tombstones is not None and len(docs_f):
+            live = ~np.isin(docs_f, self._tomb_ids)
+            docs_f, scores_f = docs_f[live], scores_f[live]
+        return docs_f, scores_f
+
+    def _driver_search_rows(self, query: dict, k, search_after, prune) -> list | None:
+        """[(doc_id, score_f32)] top-k via the driver path, or None."""
+        m = self._driver_match(query, prune)
+        if m is None:
+            return None
+        docs_f, scores_f = m
+        if search_after is not None and len(docs_f):
+            s_a, d_a = np.float32(search_after[0]), int(search_after[1])
+            keep = (scores_f < s_a) | ((scores_f == s_a) & (docs_f > d_a))
+            docs_f, scores_f = docs_f[keep], scores_f[keep]
+        order = np.lexsort((docs_f, -scores_f.astype(np.float64)))[:k]
+        return [(int(docs_f[i]), float(np.float32(scores_f[i]))) for i in order]
 
     def hits_df(
         self,
@@ -1032,7 +1157,13 @@ class IndexSearcher:
         return hits
 
     def search(self, query: dict, k: int = 10, search_after: tuple | None = None, prune: bool | None = None):
-        """Top-k as [(doc_id, score_f32)] — TopDocs analog."""
+        """Top-k as [(doc_id, score_f32)] — TopDocs analog. Small queries
+        short-circuit through the driver path without materializing a
+        DataFrame at all (no local-collect job)."""
+        if query.get("type") in ("term", "bool"):
+            rows = self._driver_search_rows(query, k, search_after, prune)
+            if rows is not None:
+                return rows
         rows = self.search_df(query, k, search_after, prune).collect()
         return [(int(r["doc_id"]), float(np.float32(r["score"]))) for r in rows]
 
@@ -1150,7 +1281,13 @@ class IndexSearcher:
 
     def count(self, query: dict) -> int:
         """TotalHitCountCollector (clt/search/mod.rs:161): exact hit count
-        over the unscored matching doc set — no scoring, no global sort."""
+        over the unscored matching doc set — no scoring, no global sort.
+        Small term/bool queries count on the driver (same crossover as
+        search: one blocks collect instead of decode + aggregate jobs)."""
+        if query.get("type") in ("term", "bool"):
+            m = self._driver_match(query, prune=None)
+            if m is not None:
+                return int(len(m[0]))
         return self.matching_docs_df(query).count()
 
     def count_with_threshold(self, query: dict, threshold: int = 1000) -> tuple[int, str]:

@@ -280,3 +280,35 @@ def test_query_rescorer(searcher, oracle_idx):
         assert np.float32(s) == expect, d
     # the rescored top-k only contains first-pass window docs
     assert set(out) <= set(base)
+
+
+def test_driver_path_equals_distributed(searcher):
+    """The small-query driver path must be byte-identical to the
+    distributed plan: toggle the crossover to force each side."""
+    queries = [
+        term_query("merge"),
+        bool_query(should=["merge", "window", "value"]),
+        bool_query(must=["merge", "value"], must_not=["window"]),
+        bool_query(should=["merge", "window", "batch"], min_should_match=2),
+    ]
+    saved = searcher.DRIVER_EXEC_MAX_POSTINGS
+    try:
+        for q in queries:
+            searcher.DRIVER_EXEC_MAX_POSTINGS = 10**9
+            drv = searcher.search(q, 10)
+            drv_n = searcher.count(q)
+            searcher.DRIVER_EXEC_MAX_POSTINGS = 0  # force distributed
+            dist = searcher.search(q, 10)
+            dist_n = searcher.count(q)
+            assert drv == dist, q
+            assert drv_n == dist_n, q
+        # search_after pages agree too
+        searcher.DRIVER_EXEC_MAX_POSTINGS = 10**9
+        q = bool_query(should=["merge", "window"])
+        page1 = searcher.search(q, 5)
+        drv2 = searcher.search(q, 5, search_after=page1[-1])
+        searcher.DRIVER_EXEC_MAX_POSTINGS = 0
+        dist2 = searcher.search(q, 5, search_after=page1[-1])
+        assert drv2 == dist2
+    finally:
+        searcher.DRIVER_EXEC_MAX_POSTINGS = saved
