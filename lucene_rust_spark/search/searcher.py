@@ -926,36 +926,11 @@ class IndexSearcher:
         total = sum(stats[t]["doc_freq"] for t in all_terms)
         if total > self.DRIVER_EXEC_MAX_POSTINGS:
             return None
-        if self.tombstones is not None:
-            if self._tomb_count > 200_000:
-                return None
-            if not hasattr(self, "_tomb_ids"):
-                self._tomb_ids = np.array(
-                    sorted(r["doc_id"] for r in self.tombstones.collect()),
-                    dtype=np.int64,
-                )
-
-        from collections import defaultdict
-
-        rows = (
-            self.postings.filter(F.col("term").isin(all_terms))
-            .select("term", "n", "first_doc", "docs_bin", "tfs_bin", "dlq_bin")
-            .collect()
-        )
-        chunks = defaultdict(list)
-        for r in rows:
-            n = int(r["n"])
-            docs = np.int64(r["first_doc"]) + np.cumsum(
-                K.for_unpack(bytes(r["docs_bin"]), n)
-            ).astype(np.int64)
-            tfs = K.for_unpack(bytes(r["tfs_bin"]), n).astype(np.int64)
-            dlqs = np.frombuffer(bytes(r["dlq_bin"]), dtype=np.uint8).astype(np.int64)
-            chunks[r["term"]].append((docs, tfs, dlqs))
-        if not chunks:
+        if not self._driver_tomb_ready():
+            return None
+        term_arrays = self._driver_collect_postings(all_terms)
+        if term_arrays is None:
             return empty
-        term_arrays = {
-            t: tuple(np.concatenate(x) for x in zip(*lst)) for t, lst in chunks.items()
-        }
         all_docs = np.unique(np.concatenate([a[0] for a in term_arrays.values()]))
         acc = np.zeros(len(all_docs), dtype=np.float32)
         n_must = np.zeros(len(all_docs), dtype=np.int32)
@@ -984,24 +959,134 @@ class IndexSearcher:
         if should_set and (msm or not must_set):
             ok = ok & (n_should >= max(msm, 0 if must_set else 1))
         ok = ok & (n_not == 0)
-        docs_f, scores_f = all_docs[ok], acc[ok]
-        if self.tombstones is not None and len(docs_f):
-            live = ~np.isin(docs_f, self._tomb_ids)
-            docs_f, scores_f = docs_f[live], scores_f[live]
+        docs_f, scores_f = self._drop_deleted_np(all_docs[ok], acc[ok])
         return docs_f, scores_f
 
-    def _driver_search_rows(self, query: dict, k, search_after, prune) -> list | None:
-        """[(doc_id, score_f32)] top-k via the driver path, or None."""
-        m = self._driver_match(query, prune)
-        if m is None:
+    def _driver_collect_postings(self, terms: list[str]) -> dict | None:
+        """term -> (docs, tfs, dlqs) numpy arrays via one blocks collect
+        (the driver path's read primitive); None when nothing matched."""
+        from collections import defaultdict
+
+        rows = (
+            self.postings.filter(F.col("term").isin(list(terms)))
+            .select("term", "n", "first_doc", "docs_bin", "tfs_bin", "dlq_bin")
+            .collect()
+        )
+        chunks = defaultdict(list)
+        for r in rows:
+            n = int(r["n"])
+            docs = np.int64(r["first_doc"]) + np.cumsum(
+                K.for_unpack(bytes(r["docs_bin"]), n)
+            ).astype(np.int64)
+            tfs = K.for_unpack(bytes(r["tfs_bin"]), n).astype(np.int64)
+            dlqs = np.frombuffer(bytes(r["dlq_bin"]), dtype=np.uint8).astype(np.int64)
+            chunks[r["term"]].append((docs, tfs, dlqs))
+        if not chunks:
             return None
-        docs_f, scores_f = m
+        return {
+            t: tuple(np.concatenate(x) for x in zip(*lst)) for t, lst in chunks.items()
+        }
+
+    def _driver_tomb_ready(self) -> bool:
+        if self.tombstones is None:
+            return True
+        if self._tomb_count > 200_000:
+            return False
+        if not hasattr(self, "_tomb_ids"):
+            self._tomb_ids = np.array(
+                sorted(r["doc_id"] for r in self.tombstones.collect()), dtype=np.int64
+            )
+        return True
+
+    def _drop_deleted_np(self, docs: np.ndarray, *aligned):
+        if self.tombstones is None or not len(docs):
+            return (docs, *aligned)
+        live = ~np.isin(docs, self._tomb_ids)
+        return (docs[live], *(a[live] for a in aligned))
+
+    def _driver_synonym_rows(self, query: dict, k, search_after) -> list | None:
+        """Driver path for SynonymQuery: blended stats, freq = sum tf."""
+        terms = sorted(set(query["terms"]))
+        stats = self.term_stats(terms)
+        terms = [t for t in terms if t in stats]
+        if not terms:
+            return []
+        if sum(stats[t]["doc_freq"] for t in terms) > self.DRIVER_EXEC_MAX_POSTINGS:
+            return None
+        if not self._driver_tomb_ready():
+            return None
+        arrs = self._driver_collect_postings(terms)
+        if arrs is None:
+            return []
+        df_blend = max(stats[t]["doc_freq"] for t in terms)
+        ttf_sum = sum(stats[t]["total_term_freq"] for t in terms)
+        w = np.float32(self.sim.weight(df_blend, ttf_sum))
+        all_docs = np.unique(np.concatenate([a[0] for a in arrs.values()]))
+        freq = np.zeros(len(all_docs), dtype=np.int64)
+        dlq = np.zeros(len(all_docs), dtype=np.int64)
+        for t in terms:
+            if t not in arrs:
+                continue
+            docs, tfs, dlqs = arrs[t]
+            idx = np.searchsorted(all_docs, docs)
+            freq[idx] += tfs
+            np.maximum.at(dlq, idx, dlqs)
+        scores = self.sim.score(freq, dlq, np.full(len(all_docs), w, np.float32))
+        docs_f, scores_f = self._drop_deleted_np(all_docs, scores)
+        return self._rank_rows(docs_f, scores_f, k, search_after)
+
+    def _driver_dismax_rows(self, query: dict, k, search_after) -> list | None:
+        """Driver path for DisjunctionMax: per-term scores combined with
+        the pinned dismax fold (max + tie * f32-sum of others)."""
+        terms = sorted({c["term"] for c in query["queries"]})
+        tie = float(query.get("tie", 0.0))
+        stats = self.term_stats(terms)
+        terms = [t for t in terms if t in stats]
+        if not terms:
+            return []
+        if sum(stats[t]["doc_freq"] for t in terms) > self.DRIVER_EXEC_MAX_POSTINGS:
+            return None
+        if not self._driver_tomb_ready():
+            return None
+        arrs = self._driver_collect_postings(terms)
+        if arrs is None:
+            return []
+        per_doc: dict[int, list] = {}
+        for t in sorted(arrs):  # ascending term — pinned combine order
+            docs, tfs, dlqs = arrs[t]
+            s = self.sim.score(
+                tfs, dlqs, np.full(len(tfs), np.float32(stats[t]["idf"]), np.float32)
+            )
+            for d, v in zip(docs.tolist(), s):
+                per_doc.setdefault(d, []).append(np.float32(v))
+        docs_f = np.array(sorted(per_doc), dtype=np.int64)
+        scores_f = np.array(
+            [K.dismax_combine(per_doc[int(d)], tie) for d in docs_f], dtype=np.float32
+        )
+        docs_f, scores_f = self._drop_deleted_np(docs_f, scores_f)
+        return self._rank_rows(docs_f, scores_f, k, search_after)
+
+    @staticmethod
+    def _rank_rows(docs_f, scores_f, k, search_after) -> list:
         if search_after is not None and len(docs_f):
             s_a, d_a = np.float32(search_after[0]), int(search_after[1])
             keep = (scores_f < s_a) | ((scores_f == s_a) & (docs_f > d_a))
             docs_f, scores_f = docs_f[keep], scores_f[keep]
         order = np.lexsort((docs_f, -scores_f.astype(np.float64)))[:k]
         return [(int(docs_f[i]), float(np.float32(scores_f[i]))) for i in order]
+
+    def _driver_search_rows(self, query: dict, k, search_after, prune) -> list | None:
+        """[(doc_id, score_f32)] top-k via the driver path, or None."""
+        qt = query.get("type")
+        if qt == "synonym":
+            return self._driver_synonym_rows(query, k, search_after)
+        if qt == "dismax":
+            return self._driver_dismax_rows(query, k, search_after)
+        m = self._driver_match(query, prune)
+        if m is None:
+            return None
+        docs_f, scores_f = m
+        return self._rank_rows(docs_f, scores_f, k, search_after)
 
     def hits_df(
         self,
@@ -1160,7 +1245,7 @@ class IndexSearcher:
         """Top-k as [(doc_id, score_f32)] — TopDocs analog. Small queries
         short-circuit through the driver path without materializing a
         DataFrame at all (no local-collect job)."""
-        if query.get("type") in ("term", "bool"):
+        if query.get("type") in ("term", "bool", "synonym", "dismax"):
             rows = self._driver_search_rows(query, k, search_after, prune)
             if rows is not None:
                 return rows
