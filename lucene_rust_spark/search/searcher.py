@@ -38,6 +38,8 @@ from lucene_rust_spark.search.rewrite import (
     match_terms,
 )
 
+_EMPTY_I64 = np.zeros(0, dtype=np.int64)
+
 MAX_CLAUSE_COUNT = 1024  # clt/search/index_searcher.rs:1
 PRUNE_MIN_POSTINGS = 2_000_000  # WAND auto-on crossover (see search_df)
 DRIVER_EXEC_MAX_POSTINGS = 100_000  # small-query driver path (see search_df)
@@ -1075,6 +1077,106 @@ class IndexSearcher:
         order = np.lexsort((docs_f, -scores_f.astype(np.float64)))[:k]
         return [(int(docs_f[i]), float(np.float32(scores_f[i]))) for i in order]
 
+    def _driver_phrase_rows(self, query: dict, k, search_after) -> list | None:
+        """Driver path for phrase / multi-phrase / sloppy queries: decode
+        docs AND positions of the phrase terms from the collected blocks,
+        run the per-doc matcher in-process (pinned displacement window or
+        the exact Lucene pq kernel for slop_mode='lucene'), score with the
+        shared similarity kernel. Crossover on the POSITION volume (sum of
+        the terms' total_term_freq) since the pos stream is what's decoded."""
+        if not self.manifest.get("positions"):
+            return None
+        slop = int(query.get("slop", 0) or 0)
+        slots = self._phrase_slots(query)
+        uniq = sorted({t for s in slots for t in s})
+        stats = self.term_stats(uniq)
+        slots = [[t for t in s if t in stats] for s in slots]
+        if any(not s for s in slots):
+            return []
+        lucene_mode = query.get("slop_mode") == "lucene"
+        if lucene_mode:
+            from lucene_rust_spark.search.sloppy import check_no_repeats
+
+            check_no_repeats(slots)
+        uniq = sorted({t for s in slots for t in s})
+        if sum(stats[t]["total_term_freq"] for t in uniq) > self.DRIVER_EXEC_MAX_POSTINGS:
+            return None
+        if not self._driver_tomb_ready():
+            return None
+        rows = (
+            self.postings.filter(F.col("term").isin(uniq))
+            .select("term", "n", "first_doc", "docs_bin", "tfs_bin", "dlq_bin", "pos_bin")
+            .collect()
+        )
+        # term -> {doc: positions array}; doc -> dlq
+        term_pos: dict[str, dict] = {t: {} for t in uniq}
+        doc_dlq: dict[int, int] = {}
+        for r in rows:
+            n = int(r["n"])
+            docs = np.int64(r["first_doc"]) + np.cumsum(
+                K.for_unpack(bytes(r["docs_bin"]), n)
+            ).astype(np.int64)
+            tfs = K.for_unpack(bytes(r["tfs_bin"]), n).astype(np.int64)
+            dlqs = np.frombuffer(bytes(r["dlq_bin"]), dtype=np.uint8)
+            total = int(tfs.sum())
+            pdeltas = K.for_unpack(bytes(r["pos_bin"]), total).astype(np.int64)
+            offs = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+            cs = np.cumsum(pdeltas)
+            base = np.zeros(total, dtype=np.int64)
+            base[offs[1:]] = cs[offs[1:] - 1]
+            np.maximum.accumulate(base, out=base)
+            pos = cs - base
+            bounds = np.concatenate((offs, [total]))
+            d = term_pos[r["term"]]
+            for i, doc in enumerate(docs.tolist()):
+                d[doc] = pos[bounds[i] : bounds[i + 1]]
+                doc_dlq[doc] = int(dlqs[i])
+        # candidates: docs covering every slot
+        cand = None
+        for s in slots:
+            covered = set()
+            for t in s:
+                covered.update(term_pos[t])
+            cand = covered if cand is None else cand & covered
+        if not cand:
+            return []
+        idf_q = np.float32(0.0)
+        for t in uniq:
+            idf_q = np.float32(idf_q + np.float32(stats[t]["idf"]))
+        hit_docs, freqs = [], []
+        if lucene_mode:
+            from lucene_rust_spark.search.sloppy import lucene_sloppy_freq
+
+        for doc in sorted(cand):
+            pos_by_slot = [
+                np.unique(np.concatenate([term_pos[t].get(doc, _EMPTY_I64) for t in s]))
+                for s in slots
+            ]
+            if lucene_mode:
+                freq = lucene_sloppy_freq(
+                    [a - off for off, a in enumerate(pos_by_slot)], slop
+                )
+            else:
+                sets = [set(a.tolist()) for a in pos_by_slot]
+                freq = 0
+                for p0 in sorted(sets[0]):
+                    if all(
+                        any(abs(p - (p0 + off)) <= slop for p in sets[off])
+                        for off in range(1, len(sets))
+                    ):
+                        freq += 1
+            if freq:
+                hit_docs.append(doc)
+                freqs.append(freq)
+        if not hit_docs:
+            return []
+        docs_f = np.array(hit_docs, dtype=np.int64)
+        tf = np.array(freqs, dtype=np.float32 if lucene_mode else np.int64)
+        dlq = np.array([doc_dlq[d] for d in hit_docs], dtype=np.int64)
+        scores_f = self.sim.score(tf, dlq, np.full(len(docs_f), idf_q, np.float32))
+        docs_f, scores_f = self._drop_deleted_np(docs_f, scores_f)
+        return self._rank_rows(docs_f, scores_f, k, search_after)
+
     def _driver_search_rows(self, query: dict, k, search_after, prune) -> list | None:
         """[(doc_id, score_f32)] top-k via the driver path, or None."""
         qt = query.get("type")
@@ -1082,6 +1184,8 @@ class IndexSearcher:
             return self._driver_synonym_rows(query, k, search_after)
         if qt == "dismax":
             return self._driver_dismax_rows(query, k, search_after)
+        if qt in ("phrase", "multi_phrase"):
+            return self._driver_phrase_rows(query, k, search_after)
         m = self._driver_match(query, prune)
         if m is None:
             return None
@@ -1245,7 +1349,7 @@ class IndexSearcher:
         """Top-k as [(doc_id, score_f32)] — TopDocs analog. Small queries
         short-circuit through the driver path without materializing a
         DataFrame at all (no local-collect job)."""
-        if query.get("type") in ("term", "bool", "synonym", "dismax"):
+        if query.get("type") in ("term", "bool", "synonym", "dismax", "phrase", "multi_phrase"):
             rows = self._driver_search_rows(query, k, search_after, prune)
             if rows is not None:
                 return rows
@@ -1369,10 +1473,19 @@ class IndexSearcher:
         over the unscored matching doc set — no scoring, no global sort.
         Small term/bool queries count on the driver (same crossover as
         search: one blocks collect instead of decode + aggregate jobs)."""
-        if query.get("type") in ("term", "bool"):
+        qt = query.get("type")
+        if qt in ("term", "bool"):
             m = self._driver_match(query, prune=None)
             if m is not None:
                 return int(len(m[0]))
+        elif qt in ("phrase", "multi_phrase"):
+            rows = self._driver_phrase_rows(query, self.doc_count, None)
+            if rows is not None:
+                return len(rows)
+        elif qt == "synonym":
+            rows = self._driver_synonym_rows(query, self.doc_count, None)
+            if rows is not None:
+                return len(rows)
         return self.matching_docs_df(query).count()
 
     def count_with_threshold(self, query: dict, threshold: int = 1000) -> tuple[int, str]:
