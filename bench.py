@@ -105,6 +105,20 @@ def main() -> None:
     lat = sorted(q_times.values())
     p50 = lat[len(lat) // 2]
 
+    # transparency: the same queries through the DISTRIBUTED plan (the
+    # shape that runs at 100x scale), driver fast path disabled
+    searcher.DRIVER_EXEC_MAX_POSTINGS = 0
+    for q in queries:
+        searcher.search(q["query"], q["k"])  # warm the distributed plans
+    dist_lat = []
+    for q in queries:
+        t1 = time.time()
+        searcher.search(q["query"], q["k"])
+        dist_lat.append(time.time() - t1)
+    searcher.DRIVER_EXEC_MAX_POSTINGS = type(searcher).DRIVER_EXEC_MAX_POSTINGS
+    dist_lat.sort()
+    p50_dist = dist_lat[len(dist_lat) // 2]
+
     # block-max WAND pruning ratio on the heaviest single-term query
     # (auto-off below PRUNE_MIN_POSTINGS; forced here to report the ratio)
     from lucene_rust_spark.search.wand import wand_candidates
@@ -134,6 +148,7 @@ def main() -> None:
                 "merge_sec": round(merge_sec, 3),
                 "files_per_sec": round(n_rows / (build_sec + merge_sec), 1),
                 "query_p50_ms": round(p50 * 1000, 1),
+                "query_p50_ms_distributed": round(p50_dist * 1000, 1),
                 "wand_block_prune_ratio": prune_ratio,
             }
         )
