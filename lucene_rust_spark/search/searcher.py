@@ -138,6 +138,31 @@ class IndexSearcher:
         self.norm_cache = getattr(self.sim, "cache", K.bm25_norm_cache(self.avgdl))
         self._scratch_dfs: list[DataFrame] = []
 
+    def refresh(self) -> bool:
+        """SearcherManager.maybeRefresh analog (clt/search/mod.rs:132
+        searcher_manager, :27 controlled_real_time_reopen_thread [stub]):
+        re-read the manifest; when a newer generation exists (streaming
+        append, merge, delete), reload postings/terms/docmap/tombstones
+        and refreshed collection stats in place. Returns True when the
+        view changed. Readers of the old generation dirs are unaffected
+        (generation-suffixed dirs are immutable once committed)."""
+        m = read_manifest(self.index_dir)
+        if m is None or m.get("generation") == self.manifest.get("generation"):
+            return False
+        cache = self._term_dict is not None or self.postings.is_cached
+        try:
+            self.postings.unpersist()
+        except Exception:
+            pass
+        self.__dict__.pop("_tomb_ids", None)  # stale driver tombstone cache
+        self.__init__(  # re-run the reader bootstrap on the new generation
+            self.spark,
+            self.index_dir,
+            cache=cache,
+            similarity=self.sim.name,
+        )
+        return True
+
     def _scratch(self, df: DataFrame) -> None:
         """Track a persisted per-query intermediate; evict oldest beyond a
         small window (queries are lazy, so eager unpersist would drop the

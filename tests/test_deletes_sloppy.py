@@ -502,3 +502,34 @@ def test_update_documents(spark, tmp_path):
     assert s2.count({"type": "match_all"}) == 200
     assert s2.count({"type": "term", "term": "updated_marker_tok"}) == 30
     src.unpersist()
+
+
+def test_searcher_refresh(spark, tmp_path):
+    """SearcherManager.maybeRefresh analog: a searcher opened before an
+    append/delete sees the new generation after refresh(), and refresh is
+    a no-op when nothing changed."""
+    from lucene_rust_spark.corpus import gen_corpus_spark
+    from lucene_rust_spark.index.build import build_index
+    from lucene_rust_spark.index.deletes import delete_by_term
+    from lucene_rust_spark.search.searcher import IndexSearcher
+    from lucene_rust_spark.streaming.incremental import append_batch
+
+    out = str(tmp_path / "idx")
+    src = gen_corpus_spark(spark, 200, 4).persist()
+    b0, b1 = src.limit(150), src.subtract(src.limit(150))
+    build_index(spark, b0, out, num_partitions=4)
+    s = IndexSearcher(spark, out, cache=True)
+    assert s.count({"type": "match_all"}) == 150
+    assert s.refresh() is False  # nothing changed
+
+    append_batch(spark, b1, out, epoch=0, num_partitions=4)
+    assert s.count({"type": "match_all"}) == 150  # old view until refresh
+    assert s.refresh() is True
+    assert s.count({"type": "match_all"}) == 200
+
+    n_merge = s.count({"type": "term", "term": "merge"})
+    delete_by_term(spark, out, "merge")
+    assert s.refresh() is True
+    assert s.count({"type": "term", "term": "merge"}) == 0
+    assert s.count({"type": "match_all"}) == 200 - n_merge
+    src.unpersist()
