@@ -1519,6 +1519,13 @@ class IndexSearcher:
         stop once `threshold + 1` matches are seen and report a lower bound.
         The limit() short-circuits the scan (Spark CollectLimit stops early),
         which is the point at 100-TB corpora where head terms match billions."""
+        if query.get("type") in ("term", "bool"):
+            m = self._driver_match(query, prune=None)
+            if m is not None:
+                n = len(m[0])
+                if n > threshold:
+                    return threshold, "GREATER_THAN_OR_EQUAL_TO"
+                return n, "EQUAL_TO"
         n = self.matching_docs_df(query).limit(threshold + 1).count()
         if n > threshold:
             return threshold, "GREATER_THAN_OR_EQUAL_TO"
