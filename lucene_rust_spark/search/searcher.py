@@ -989,14 +989,22 @@ class IndexSearcher:
         docs_f, scores_f = self._drop_deleted_np(all_docs[ok], acc[ok])
         return docs_f, scores_f
 
-    def _driver_collect_postings(self, terms: list[str]) -> dict | None:
+    def _driver_collect_postings(
+        self, terms: list[str], doc_id: int | None = None
+    ) -> dict | None:
         """term -> (docs, tfs, dlqs) numpy arrays via one blocks collect
-        (the driver path's read primitive); None when nothing matched."""
+        (the driver path's read primitive); None when nothing matched.
+        doc_id narrows to the blocks whose [first_doc, last_doc] zone map
+        contains it (the skip-list seek — one block per term at any df)."""
         from collections import defaultdict
 
+        src = self.postings.filter(F.col("term").isin(list(terms)))
+        if doc_id is not None:
+            src = src.filter(
+                (F.col("first_doc") <= doc_id) & (F.col("last_doc") >= doc_id)
+            )
         rows = (
-            self.postings.filter(F.col("term").isin(list(terms)))
-            .select("term", "n", "first_doc", "docs_bin", "tfs_bin", "dlq_bin")
+            src.select("term", "n", "first_doc", "docs_bin", "tfs_bin", "dlq_bin")
             .collect()
         )
         chunks = defaultdict(list)
@@ -1530,6 +1538,83 @@ class IndexSearcher:
         if n > threshold:
             return threshold, "GREATER_THAN_OR_EQUAL_TO"
         return n, "EQUAL_TO"
+
+    def explain(self, query: dict, doc_id: int) -> dict:
+        """IndexSearcher.explain analog (Lucene's Explanation tree;
+        clt/search/index_searcher.rs [stub]): the score breakdown of one
+        doc for a term/bool query — per matching term its tf, stored norm
+        byte, decoded doc length, per-term statistic (weight), and float32
+        score, plus the pinned ascending-term combine. `match` is False
+        (with a reason) when the doc fails MUST/minShouldMatch/MUST_NOT
+        or is deleted."""
+        if query.get("type") not in ("term", "bool"):
+            raise ValueError("explain supports term/bool queries")
+        must, should, must_not, msm = query_terms(query)
+        must_set, should_set = sorted(set(must)), sorted(set(should))
+        mn_all = sorted(set(must_not))
+        stats = self.term_stats(sorted(set(must_set) | set(should_set) | set(mn_all)))
+        out: dict = {"doc_id": int(doc_id), "match": False, "score": 0.0, "details": []}
+        if msm > len(should_set):
+            out["reason"] = "minimumNumberShouldMatch exceeds SHOULD clause count"
+            return out
+        arrs = self._driver_collect_postings(
+            [t for t in sorted(set(must_set) | set(should_set) | set(mn_all)) if t in stats],
+            doc_id=int(doc_id),
+        ) or {}
+        hit_terms: dict[str, tuple] = {}
+        for t, (docs, tfs, dlqs) in arrs.items():
+            i = np.searchsorted(docs, doc_id)
+            if i < len(docs) and docs[i] == doc_id:
+                hit_terms[t] = (int(tfs[i]), int(dlqs[i]))
+        for t in mn_all:
+            if t in hit_terms:
+                out["reason"] = f"MUST_NOT term {t!r} matches"
+                return out
+        if any(t not in hit_terms for t in must_set):
+            missing = [t for t in must_set if t not in hit_terms]
+            out["reason"] = f"MUST terms not matched: {missing}"
+            return out
+        n_should = sum(1 for t in should_set if t in hit_terms)
+        need = max(msm, 0 if must_set else 1) if should_set else 0
+        if should_set and n_should < need:
+            out["reason"] = f"only {n_should} SHOULD terms matched, need {need}"
+            return out
+        if self.tombstones is not None and self._driver_tomb_ready():
+            if bool(np.isin(np.array([doc_id]), self._tomb_ids)[0]):
+                out["reason"] = "doc is deleted (tombstoned)"
+                return out
+        acc = np.float32(0.0)
+        scoring = sorted(set(must_set) | set(should_set))
+        for t in scoring:
+            if t not in hit_terms:
+                continue
+            tf, dlq = hit_terms[t]
+            w = np.float32(stats[t]["idf"])
+            sc = self.sim.score(
+                np.array([tf], dtype=np.int64),
+                np.array([dlq], dtype=np.int64),
+                np.full(1, w, dtype=np.float32),
+            )[0]
+            acc = np.float32(acc + np.float32(sc))
+            out["details"].append(
+                {
+                    "term": t,
+                    "tf": tf,
+                    "norm_byte": dlq,
+                    "doc_length": int(K.byte4_to_int(np.array([dlq]))[0]),
+                    "doc_freq": stats[t]["doc_freq"],
+                    "weight": float(w),
+                    "score": float(np.float32(sc)),
+                    "similarity": self.sim.name,
+                }
+            )
+        out["match"] = True
+        out["score"] = float(acc)
+        out["description"] = (
+            "float32 left-fold of per-term scores in ascending-term order "
+            f"({self.sim.name}); avgdl={float(self.avgdl)}"
+        )
+        return out
 
     def fetch(self, hits_df: DataFrame) -> DataFrame:
         """Join top-k back to the doc map — the stored-fields fetch."""
