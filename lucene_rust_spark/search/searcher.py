@@ -1210,6 +1210,26 @@ class IndexSearcher:
         docs_f, scores_f = self._drop_deleted_np(docs_f, scores_f)
         return self._rank_rows(docs_f, scores_f, k, search_after)
 
+    def _driver_expansion_docs(self, query: dict) -> np.ndarray | None:
+        """Live doc_ids matching a multi-term expansion query, via the
+        driver path; None to fall back."""
+        terms = self.expand_query_terms(query)  # raises TooManyClauses
+        if not terms:
+            return np.zeros(0, dtype=np.int64)
+        stats = self.term_stats(terms)
+        terms = [t for t in terms if t in stats]
+        if not terms:
+            return np.zeros(0, dtype=np.int64)
+        if sum(stats[t]["doc_freq"] for t in terms) > self.DRIVER_EXEC_MAX_POSTINGS:
+            return None
+        if not self._driver_tomb_ready():
+            return None
+        arrs = self._driver_collect_postings(terms)
+        if arrs is None:
+            return np.zeros(0, dtype=np.int64)
+        docs = np.unique(np.concatenate([a[0] for a in arrs.values()]))
+        return self._drop_deleted_np(docs)[0]
+
     def _driver_search_rows(self, query: dict, k, search_after, prune) -> list | None:
         """[(doc_id, score_f32)] top-k via the driver path, or None."""
         qt = query.get("type")
@@ -1219,6 +1239,24 @@ class IndexSearcher:
             return self._driver_dismax_rows(query, k, search_after)
         if qt in ("phrase", "multi_phrase"):
             return self._driver_phrase_rows(query, k, search_after)
+        if qt == "fuzzy":
+            # scoring rewrite first, then the bool driver path
+            terms = self.expand_query_terms(query)
+            if not terms:
+                return []
+            from lucene_rust_spark.oracle.bm25 import bool_query
+
+            return self._driver_search_rows(
+                bool_query(should=terms), k, search_after, prune
+            )
+        if qt in CONSTANT_SCORE_TYPES:
+            docs = self._driver_expansion_docs(query)
+            if docs is None:
+                return None
+            boost = np.float32(query.get("boost", 1.0))
+            return self._rank_rows(
+                docs, np.full(len(docs), boost, dtype=np.float32), k, search_after
+            )
         m = self._driver_match(query, prune)
         if m is None:
             return None
@@ -1382,7 +1420,9 @@ class IndexSearcher:
         """Top-k as [(doc_id, score_f32)] — TopDocs analog. Small queries
         short-circuit through the driver path without materializing a
         DataFrame at all (no local-collect job)."""
-        if query.get("type") in ("term", "bool", "synonym", "dismax", "phrase", "multi_phrase"):
+        if query.get("type") in (
+            "term", "bool", "synonym", "dismax", "phrase", "multi_phrase", "fuzzy"
+        ) or query.get("type") in CONSTANT_SCORE_TYPES:
             rows = self._driver_search_rows(query, k, search_after, prune)
             if rows is not None:
                 return rows
@@ -1519,6 +1559,10 @@ class IndexSearcher:
             rows = self._driver_synonym_rows(query, self.doc_count, None)
             if rows is not None:
                 return len(rows)
+        elif qt in CONSTANT_SCORE_TYPES or qt == "fuzzy":
+            docs = self._driver_expansion_docs(query)
+            if docs is not None:
+                return int(len(docs))
         return self.matching_docs_df(query).count()
 
     def count_with_threshold(self, query: dict, threshold: int = 1000) -> tuple[int, str]:
