@@ -1500,6 +1500,38 @@ class IndexSearcher:
         world, no scoring."""
         if field not in self.docmap.columns:
             raise ValueError(f"unknown facet field (not in docmap): {field}")
+        if query.get("type") in ("term", "bool"):
+            m = self._driver_match(query, prune=None)
+            if m is not None and len(m[0]) <= 20_000:
+                # small match set: one pushed-IN docmap collect + a driver
+                # Counter — the docmap is doc_id-range-sorted parquet, so
+                # the IN filter prunes row groups (zone-map seek)
+                from collections import Counter
+
+                ids = m[0]
+                if not len(ids):
+                    return self.spark.createDataFrame(
+                        [], f"{field} string, count long"
+                    )
+                rows = (
+                    self.docmap.filter(
+                        F.expr(f"doc_id IN ({','.join(map(str, ids.tolist()))})")
+                    )
+                    .select(field)
+                    .collect()
+                )
+                c = Counter(r[field] for r in rows)
+                # Spark ordering: count desc, field asc with nulls FIRST
+                top = sorted(
+                    c.items(),
+                    key=lambda kv: (-kv[1], kv[0] is not None, kv[0] or ""),
+                )[:top_n]
+                return self.spark.createDataFrame(
+                    self.spark.sparkContext.parallelize(
+                        [(v, int(n)) for v, n in top], 1
+                    ),
+                    f"{field} string, count long",
+                )
         matches = self.matching_docs_df(query)
         return (
             self.docmap.select("doc_id", field)
