@@ -76,11 +76,20 @@ def match_candidates(q: dict, candidates) -> list[str]:
             for c in candidates
             if (lo is None or c >= lo) and (hi is None or c < hi)
         ]
-    if t in ("wildcard", "regexp"):
-        pat = re.compile(
-            wildcard_to_regex(q["pattern"]) if t == "wildcard" else "^" + q["pattern"] + "$"
-        )
+    if t == "wildcard":
+        pat = re.compile(wildcard_to_regex(q["pattern"]))
         return [c for c in candidates if pat.match(c)]
+    if t == "regexp":
+        # Lucene's regexp grammar by default (clt/util/automaton/reg_exp.rs;
+        # anchored, '.' crosses newline, ^/$ literal, ~/&/# rejected);
+        # syntax='python' opts into raw Python-regex semantics
+        if q.get("syntax") == "python":
+            pat = re.compile("^" + q["pattern"] + "$")
+            return [c for c in candidates if pat.match(c)]
+        from lucene_rust_spark.search.regexp import compile_lucene_regexp
+
+        matcher = compile_lucene_regexp(q["pattern"])
+        return [c for c in candidates if matcher(c)]
     if t == "fuzzy":
         k = int(q.get("max_edits", 2))
         term = q["term"]

@@ -210,6 +210,29 @@ class IndexSearcher:
 
     # -- block decode + score kernel -----------------------------------------
 
+    def _decode_coalesce(self, blocks: DataFrame, est_postings: int | None) -> DataFrame:
+        """Cap the Python-decode stage's task count for small queries.
+        Measured (local[32], 20k-doc index): a mapInPandas stage costs
+        ~100 ms of fixed Arrow/worker overhead at <=8 tasks but ~230 ms at
+        32 — for a query that decodes a few hundred blocks, fan-out is
+        pure loss. est_postings comes from the cached term stats (df sum),
+        so this costs no extra job; big queries (or unknown estimates)
+        keep the scan's full parallelism."""
+        if est_postings is None:
+            return blocks
+        est_blocks = est_postings // K.BLOCK_SIZE + 1
+        if est_blocks > 16_384:  # ≥ ~2M postings: keep full width
+            return blocks
+        width = max(1, min(8, est_blocks // 1024 + 1))
+        return blocks.coalesce(width)
+
+    def _est_postings(self, terms: list[str]) -> int | None:
+        """Posting-count estimate from the cached terms dict (no job);
+        None when the dict isn't preloaded."""
+        if self._term_dict is None:
+            return None
+        return sum(self._term_dict[t][0] for t in terms if t in self._term_dict)
+
     def _scored_postings(self, terms: list[str], stats: dict, blocks: DataFrame | None = None) -> DataFrame:
         """(doc_id, term, score float32) for every posting of the given terms.
         Term filter is pushed to the parquet scan (term-sorted files → row-group
@@ -217,7 +240,10 @@ class IndexSearcher:
         idf_map = {t: np.float32(stats[t]["idf"]) for t in terms if t in stats}
         sim = self.sim
         if blocks is None:
-            blocks = self.postings.filter(F.col("term").isin(list(terms)))
+            blocks = self._decode_coalesce(
+                self.postings.filter(F.col("term").isin(list(terms))),
+                sum(stats[t]["doc_freq"] for t in terms if t in stats),
+            )
         blocks = blocks.select("term", "n", "first_doc", "docs_bin", "tfs_bin", "dlq_bin")
 
         def decode(batches):
@@ -647,9 +673,10 @@ class IndexSearcher:
 
     def _matching_docs(self, terms: list[str]) -> DataFrame:
         """doc_ids containing any of the terms (no scoring) — for MUST_NOT."""
-        blocks = self.postings.filter(F.col("term").isin(list(terms))).select(
-            "n", "first_doc", "docs_bin"
-        )
+        blocks = self._decode_coalesce(
+            self.postings.filter(F.col("term").isin(list(terms))),
+            self._est_postings(terms),
+        ).select("n", "first_doc", "docs_bin")
 
         def decode(batches):
             for pdf in batches:
@@ -672,9 +699,10 @@ class IndexSearcher:
 
     def _postings_freqs(self, terms: list[str]) -> DataFrame:
         """(doc_id, tf, dlq) rows for a term set (union of postings)."""
-        blocks = self.postings.filter(F.col("term").isin(list(terms))).select(
-            "n", "first_doc", "docs_bin", "tfs_bin", "dlq_bin"
-        )
+        blocks = self._decode_coalesce(
+            self.postings.filter(F.col("term").isin(list(terms))),
+            self._est_postings(terms),
+        ).select("n", "first_doc", "docs_bin", "tfs_bin", "dlq_bin")
 
         def decode(batches):
             for pdf in batches:
@@ -721,9 +749,10 @@ class IndexSearcher:
     def _term_docs(self, terms: list[str]) -> DataFrame:
         """(doc_id, term) rows — one per posting, no scores, no norms.
         The cheap iterator used by count() and conjunction planning."""
-        blocks = self.postings.filter(F.col("term").isin(list(terms))).select(
-            "term", "n", "first_doc", "docs_bin"
-        )
+        blocks = self._decode_coalesce(
+            self.postings.filter(F.col("term").isin(list(terms))),
+            self._est_postings(terms),
+        ).select("term", "n", "first_doc", "docs_bin")
 
         def decode(batches):
             for pdf in batches:
@@ -848,8 +877,11 @@ class IndexSearcher:
         else:  # wildcard / regexp: cheap prefix prefilter when available
             pat = q["pattern"]
             lit_prefix = ""
+            # stop at ANY possibly-operator char of either grammar (Lucene
+            # regexp adds " @ ~ & < > #; ^ $ are Lucene-literal but stopping
+            # early is merely conservative — the exact matcher still runs)
             for ch in pat:
-                if ch in "*?[](){}|.\\+^$":
+                if ch in '*?[](){}|.\\+^$"@~&<>#':
                     break
                 lit_prefix += ch
             cand = td.filter(F.col("term").startswith(lit_prefix)) if lit_prefix else td
