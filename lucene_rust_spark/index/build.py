@@ -63,12 +63,29 @@ def with_partition(df: DataFrame, num_partitions: int) -> DataFrame:
     return df.withColumn("part", part)
 
 
-def assign_doc_ids(df_with_part: DataFrame) -> DataFrame:
+def assign_doc_ids(df_with_part: DataFrame, sort_key: str | None = None) -> DataFrame:
     """doc_id = (part << 40) | row_number within part, rows sorted by
     (repo, path, commit) — the IndexSorter + per-segment docBase analog
     (clt/index/index_sorter.rs, clt/index/leaf_reader_context.rs).
-    Never monotonically_increasing_id(): must be rerun-deterministic."""
-    w = Window.partitionBy("part").orderBy("repo", "path", "commit")
+    Never monotonically_increasing_id(): must be rerun-deterministic.
+
+    sort_key (IndexWriterConfig.setIndexSort analog): an optional leading
+    SQL-expression sort key — 'content_len' orders docs by content length
+    ascending WITHIN each segment before docID assignment, clustering
+    short (high-BM25-score) docs into the low-doc_id FOR blocks of every
+    posting list. That makes the per-block competitive impacts
+    DISCRIMINATIVE, which is what lets block-max WAND prune (BENCH/
+    WAND.md: on hash-random doc order every block contains a
+    near-upper-bound posting and prune ratio is 0). (repo, path, commit)
+    stays as the tiebreak so assignment remains a pure function of the
+    corpus."""
+    if sort_key is None:
+        order = ["repo", "path", "commit"]
+    elif sort_key == "content_len":
+        order = [F.length("content").asc(), "repo", "path", "commit"]
+    else:
+        raise ValueError(f"unknown sort_key {sort_key!r} (supported: 'content_len')")
+    w = Window.partitionBy("part").orderBy(*order)
     return df_with_part.withColumn(
         "doc_id",
         (F.col("part").cast("long") * F.lit(1 << PARTITION_SHIFT))
@@ -679,6 +696,7 @@ def build_index(
     word_break: str = "simple",
     offsets: bool = False,
     payloads=None,
+    sort_key: str | None = None,
 ) -> dict:
     """Build the full index under out_dir. Returns the committed manifest.
     payloads: None (off) | True (default token-type payload byte per
@@ -724,6 +742,7 @@ def build_index(
             width=width, analyzer=analyzer, positions=positions, resume=resume,
             stop_words=stop_words, char_filters=char_filters, codec=codec,
             word_break=word_break, offsets=offsets, payloads=payloads,
+            sort_key=sort_key,
         )
         group_stats.append(gs)
 
@@ -762,6 +781,7 @@ def build_index(
         "payloads": bool(payloads),
         "char_filters": [list(cf) for cf in char_filters] if char_filters else None,
         "codec": codec,
+        "sort_key": sort_key,
         "doc_count": doc_count,
         "sum_total_term_freq": sum_ttf,
         "num_partitions": num_partitions,
@@ -803,6 +823,7 @@ def build_group_job(
     word_break: str = "simple",
     offsets: bool = False,
     payloads=None,
+    sort_key: str | None = None,
 ) -> dict:
     """Build exactly one checkpoint group and write its checkpoint — the
     unit of distributed work: independent group-builder processes (or a
@@ -837,6 +858,7 @@ def build_group_job(
         docs, out_dir, g, num_groups, width, analyzer, positions,
         stop_words=stop_words, char_filters=char_filters, codec=codec,
         word_break=word_break, offsets=offsets, payloads=payloads,
+        sort_key=sort_key,
     )
     with open(ck_path + ".tmp", "w") as f:
         json.dump(gs, f)
@@ -873,6 +895,7 @@ def _build_group(
     postings_dirname: str = "postings",
     stop_words=None, char_filters=None, codec: str = "for",
     word_break: str = "simple", offsets: bool = False, payloads=None,
+    sort_key: str | None = None,
 ) -> dict:
     """Build one checkpoint group from its (pre-filtered) slice of the
     corpus. With the dwpt analyzer the slice's content is read EXACTLY
@@ -880,7 +903,7 @@ def _build_group(
     same pass); docmap reuses the staged per-row sha256 when present.
     postings_dirname routes the postings write into the index's CURRENT
     postings generation (streaming appends after a merge compaction)."""
-    d = assign_doc_ids(docs_with_part).persist()
+    d = assign_doc_ids(docs_with_part, sort_key=sort_key).persist()
 
     def gdir(name: str) -> str:
         if name == "postings":

@@ -42,6 +42,10 @@ _EMPTY_I64 = np.zeros(0, dtype=np.int64)
 
 MAX_CLAUSE_COUNT = 1024  # clt/search/index_searcher.rs:1
 PRUNE_MIN_POSTINGS = 2_000_000  # WAND auto-on crossover (see search_df)
+# index-sorted corpora (build sort_key='content_len') cluster competitive
+# postings, so pruning pays much earlier: measured crossover ~600k postings
+# (BENCH/WAND_SORTED.md: speedup 1.13-2.07x at 800k-1.2M, prune ratio .996+)
+PRUNE_MIN_POSTINGS_SORTED = 600_000
 DRIVER_EXEC_MAX_POSTINGS = 100_000  # small-query driver path (see search_df)
 
 
@@ -132,6 +136,8 @@ class IndexSearcher:
                 }
         self.doc_count = int(self.manifest["doc_count"])
         self.sum_ttf = int(self.manifest["sum_total_term_freq"])
+        if self.manifest.get("sort_key"):
+            self.PRUNE_MIN_POSTINGS = PRUNE_MIN_POSTINGS_SORTED
         # pinned: avgdl from exact integer stats (FIXTURES.md §3)
         self.avgdl = np.float32(np.float64(self.sum_ttf) / np.float64(self.doc_count))
         self.sim = get_similarity(similarity, self.doc_count, self.sum_ttf)

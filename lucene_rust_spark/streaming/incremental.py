@@ -60,6 +60,7 @@ def append_batch(
         offsets=bool(m.get("offsets")),
         payloads=bool(m.get("payloads")),  # default fn only; custom fns
         # must rebuild (the manifest cannot serialize a callable)
+        sort_key=m.get("sort_key"),
     )
 
     # drop a possibly-stale record of this epoch (idempotent replay)

@@ -3,7 +3,14 @@ an 800k-doc index, run representative OR/term queries with prune on/off,
 and report latency delta, block prune ratio, candidate restriction, and
 rank identity. Writes BENCH/WAND.md + prints one JSON line.
 
-Usage: python tools/bench_wand.py [n_rows] [reps]
+Usage: python tools/bench_wand.py [n_rows] [reps] [--sorted]
+
+--sorted builds the index with sort_key='content_len' (the IndexSorter
+hook): docs ordered by length within each segment, which clusters
+competitive (short-doc) postings into few blocks — the corpus shape
+block-max pruning was designed for. The default (hash-random doc order)
+is the adversarial baseline where pruning provably cannot pay
+(BENCH/WAND.md r3 findings).
 """
 
 from __future__ import annotations
@@ -19,8 +26,10 @@ sys.path.insert(0, str(ROOT))
 
 
 def main() -> None:
-    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 800_000
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    args = [a for a in sys.argv[1:] if a != "--sorted"]
+    use_sort = "--sorted" in sys.argv[1:]
+    n_rows = int(args[0]) if len(args) > 0 else 800_000
+    reps = int(args[1]) if len(args) > 1 else 3
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     from pyspark.sql import functions as F
@@ -40,11 +49,14 @@ def main() -> None:
     corpus_dir = f"/tmp/lrs_bench/corpus_{n_rows}"
     if not os.path.exists(os.path.join(corpus_dir, "_SUCCESS")):
         gen_corpus_spark(spark, n_rows, 2048).write.mode("overwrite").parquet(corpus_dir)
-    idx_dir = f"/tmp/lrs_bench/wand_index_{n_rows}"
+    sort_key = "content_len" if use_sort else None
+    suffix = "_sorted" if use_sort else ""
+    idx_dir = f"/tmp/lrs_bench/wand_index_{n_rows}{suffix}"
     m = read_manifest(idx_dir)
-    if m is None or m.get("doc_count") != n_rows:
+    if m is None or m.get("doc_count") != n_rows or m.get("sort_key") != sort_key:
         src = spark.read.parquet(corpus_dir)
-        build_index(spark, src, idx_dir, num_partitions=max(64, 8 * cpus))
+        build_index(spark, src, idx_dir, num_partitions=max(64, 8 * cpus),
+                    sort_key=sort_key, resume=False)
         merge_segments(spark, idx_dir, fan_in=16)
 
     s = IndexSearcher(spark, idx_dir, cache=True)
@@ -79,7 +91,7 @@ def main() -> None:
                      "should": [{"type": "term", "term": t} for t in head[3:6]]},
     }
 
-    report: dict = {"n_rows": n_rows, "cpus": cpus, "queries": {}}
+    report: dict = {"n_rows": n_rows, "cpus": cpus, "sort_key": sort_key, "queries": {}}
     for name, q in shapes.items():
         from lucene_rust_spark.oracle.bm25 import query_terms
 
@@ -116,13 +128,13 @@ def main() -> None:
         }
         print(name, json.dumps(report["queries"][name]), flush=True)
 
-    out = ROOT / "BENCH" / "WAND.md"
+    out = ROOT / "BENCH" / ("WAND_SORTED.md" if use_sort else "WAND.md")
     lines = [
         "# BENCH/WAND — block-max WAND payoff at scale",
         "",
         f"Corpus: {n_rows:,} synthetic code files (seed 42), merged index "
         f"(fan_in 16), local[{cpus}], k=10, {reps} interleaved reps per path, "
-        "min reported (steady-state, post-warmup).",
+        f"min reported (steady-state, post-warmup). Index sort: {sort_key}.",
         "",
         "| query | terms | postings | blocks kept/total | prune ratio | cands | exact ms | prune ms | speedup | rank-identical |",
         "|---|---|---|---|---|---|---|---|---|---|",
