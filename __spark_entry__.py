@@ -219,6 +219,89 @@ FROM dec
 """
 
 
+def _engine_blended_scores(spark, sf_dir):
+    """BlendedTermQuery (clt/search/mod.rs:3): per-doc dismax(tie=0.01) of
+    boost_t * bm25(tf_t, dl, BLENDED df = max over terms), with unequal
+    boosts (merge x2.0, window x0.5) — tf/dlq straight from the INDEX,
+    arithmetic in double so DuckDB must agree value-for-value."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from lucene_rust_spark.entry_helpers import doc_id_from_path, gate_searcher
+    from lucene_rust_spark.index.build import dl_decode_sql
+
+    s = gate_searcher(spark, sf_dir)
+    boosts = {"merge": 2.0, "window": 0.5}
+    st = s.term_stats(list(boosts))
+    terms = [t for t in sorted(boosts) if t in st]
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    df_ = max(st[t]["doc_freq"] for t in terms)
+    idf = math.log(1.0 + (s.doc_count - df_ + 0.5) / (df_ + 0.5))
+    avgdl = s.sum_ttf / s.doc_count
+    parts = None
+    for t in terms:
+        p = s.term_postings(t).select(
+            "doc_id", F.lit(t).alias("term"), "tf", "dlq"
+        )
+        parts = p if parts is None else parts.unionByName(p)
+    boost_map = F.create_map(
+        *[x for t in terms for x in (F.lit(t), F.lit(float(boosts[t])))]
+    )
+    dlv = F.expr(dl_decode_sql("dlq"))
+    tfn = F.col("tf") / (
+        F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * dlv / F.lit(float(avgdl)))
+    )
+    scored = parts.select(
+        "doc_id", (boost_map[F.col("term")] * F.lit(float(idf)) * tfn).alias("s")
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.max("s").alias("mx"), F.sum("s").alias("sm")
+    )
+    out = agg.select(
+        "doc_id",
+        F.round(F.col("mx") + 0.01 * (F.col("sm") - F.col("mx")), 4).alias("score"),
+    )
+    return doc_id_from_path(s.fetch(out)).select(
+        F.col("orig_doc_id").alias("doc_id"), "score"
+    )
+
+
+SQL_ENGINE_BLENDED_SCORES = f"""
+{_TOKS_CTE},
+dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tk),
+st AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl),
+fl AS (SELECT tk.doc_id, u.term, count(*)::BIGINT AS tf
+       FROM tk, unnest(toks) AS u(term) GROUP BY tk.doc_id, u.term),
+m AS (SELECT fl.doc_id, fl.term, fl.tf, dl.dl,
+             CASE fl.term WHEN 'merge' THEN 2.0 ELSE 0.5 END AS boost
+      FROM fl JOIN dl USING (doc_id) WHERE fl.term IN ('merge', 'window')),
+dfs AS (SELECT max(c)::BIGINT AS df FROM
+        (SELECT term, count(*)::BIGINT AS c FROM fl
+         WHERE term IN ('merge', 'window') GROUP BY term)),
+q AS (SELECT m.*, dfs.df, st.n_docs, st.sum_dl FROM m CROSS JOIN dfs CROSS JOIN st),
+enc AS (SELECT *,
+  (CASE WHEN dl < {_N_FREE} THEN dl
+   ELSE {_N_FREE} + (CASE WHEN length(bin(dl - {_N_FREE})) < 4 OR dl - {_N_FREE} = 0
+                     THEN dl - {_N_FREE}
+                     ELSE ((((dl - {_N_FREE}) >> (length(bin(dl - {_N_FREE})) - 4)) & 7)
+                          | ((length(bin(dl - {_N_FREE})) - 4 + 1) << 3)) END)
+   END) AS dlq FROM q),
+dec AS (SELECT *,
+  (CASE WHEN dlq < {_N_FREE} THEN dlq
+   ELSE {_N_FREE} + (CASE WHEN dlq - {_N_FREE} < 8 THEN (dlq - {_N_FREE}) & 15
+                     ELSE (((dlq - {_N_FREE}) & 7) | 8) << (((dlq - {_N_FREE}) >> 3) - 1) END)
+   END) AS dlv FROM enc),
+sc AS (SELECT doc_id,
+  boost * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        * (tf / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dlv / (sum_dl::DOUBLE / n_docs)))) AS s
+  FROM dec)
+SELECT doc_id, round(max(s) + 0.01 * (sum(s) - max(s)), 4) AS score
+FROM sc GROUP BY doc_id
+"""
+
+
 def _engine_phrase_count(spark, sf_dir):
     from lucene_rust_spark.entry_helpers import count_df, gate_searcher
     from lucene_rust_spark.oracle.bm25 import phrase_query
@@ -310,6 +393,18 @@ def _engine_field_lang_count(spark, sf_dir):
     ms = mf_gate_searcher(spark, sf_dir)
     return count_df(
         spark, ms.count({"type": "term", "field": "lang_field", "term": "en"})
+    )
+
+
+def _engine_field_exists_count(spark, sf_dir):
+    """FieldExistsQuery (clt/search/mod.rs field_exists_query): docs with
+    >= 1 token in the sparse opt_field (empty for doc_id % 3 == 0) — the
+    match set is a norms-column scan of that field's sub-index."""
+    from lucene_rust_spark.entry_helpers import count_df, mf_gate_searcher
+
+    ms = mf_gate_searcher(spark, sf_dir)
+    return count_df(
+        spark, ms.count({"type": "field_exists", "field": "opt_field"})
     )
 
 
@@ -442,6 +537,7 @@ _ENGINE_QUERIES = {
     ),
     "engine_bm25_scores": (_engine_bm25_scores, SQL_ENGINE_BM25_SCORES),
     "engine_synonym_scores": (_engine_synonym_scores, SQL_ENGINE_SYNONYM_SCORES),
+    "engine_blended_scores": (_engine_blended_scores, SQL_ENGINE_BLENDED_SCORES),
     "engine_phrase_count": (
         _engine_phrase_count,
         f"{_POS_CTE} SELECT count(DISTINCT a.doc_id)::BIGINT AS n_hits "
@@ -499,6 +595,10 @@ _ENGINE_QUERIES = {
     "engine_field_lang_count": (
         _engine_field_lang_count,
         "SELECT count(*)::BIGINT AS n_hits FROM documents WHERE lang = 'en'",
+    ),
+    "engine_field_exists_count": (
+        _engine_field_exists_count,
+        "SELECT count(*)::BIGINT AS n_hits FROM documents WHERE doc_id % 3 <> 0",
     ),
     "engine_snippets": (
         _engine_snippets,

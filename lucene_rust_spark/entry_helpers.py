@@ -86,15 +86,31 @@ def mf_gate_searcher(spark: SparkSession, sf_dir: str):
         return _SEARCHERS[key]
     out = os.path.join(_GATE_IDX_ROOT, key)
     src = documents_as_corpus(spark, sf_dir)
+    fields = ("lang_field", "opt_field")
     meta_path = os.path.join(out, "multifield.json")
     need = True
     if os.path.exists(meta_path):
         with open(meta_path) as f:
-            need = json.load(f).get("doc_count") != src.count()
+            meta = json.load(f)
+        need = (
+            meta.get("doc_count") != src.count()
+            or meta.get("fields") != list(fields)
+        )
     if need:
+        # opt_field is EMPTY for doc_id % 3 == 0 (path carries the id) —
+        # the field-exists gate needs a field that is genuinely sparse
+        doc_num = F.split(F.col("path"), "/").getItem(1).cast("long")
         build_multi_field_index(
-            spark, src.withColumn("lang_field", F.col("lang")), out,
-            fields=("lang_field",), num_partitions=4,
+            spark,
+            src.withColumn("lang_field", F.col("lang")).withColumn(
+                "opt_field",
+                F.when(doc_num % 3 == 0, F.lit("")).otherwise(
+                    F.concat(F.lit("tag_"), F.col("lang"))
+                ),
+            ),
+            out,
+            fields=fields,
+            num_partitions=4,
         )
     ms = MultiFieldSearcher(spark, out, cache=True)
     _SEARCHERS[key] = ms

@@ -136,6 +136,20 @@ def synonym_query(terms) -> dict:
     return {"type": "synonym", "terms": list(terms)}
 
 
+def blended_query(term_boosts, tie: float = 0.01) -> dict:
+    """BlendedTermQuery (clt/search/mod.rs:3 blended_term_query [stub];
+    Lucene 9 semantics): terms scored with BLENDED statistics — df = max,
+    ttf = max over the terms (Lucene's blend() equalizes the contexts to
+    the highest observed frequency) — each multiplied by its per-term
+    boost, combined with the default DisjunctionMaxRewrite(tie).
+    term_boosts: [(term, boost), ...] — terms must be distinct."""
+    return {
+        "type": "blended",
+        "terms": [{"term": t, "boost": float(b)} for t, b in term_boosts],
+        "tie": float(tie),
+    }
+
+
 def bool_query(must=(), should=(), must_not=(), min_should_match=0) -> dict:
     return {
         "type": "bool",
@@ -280,6 +294,30 @@ def oracle_search(
             freq[hit], idx.dlq[hit], np.full(len(hit), idf, dtype=np.float32)
         )
         return _rank(idx.doc_ids[hit], scores, k, search_after)
+    if qt == "blended":
+        clauses = sorted((c["term"], np.float32(c.get("boost", 1.0))) for c in q["terms"])
+        if len({t for t, _ in clauses}) != len(clauses):
+            raise ValueError("blended terms must be distinct")
+        tie = float(q.get("tie", 0.01))
+        present = [(t, b) for t, b in clauses if t in idx.postings]
+        if not present:
+            return []
+        df_blend = max(len(idx.postings[t][0]) for t, _ in present)
+        ttf_blend = max(int(idx.postings[t][1].sum()) for t, _ in present)
+        w = np.float32(sim.weight(df_blend, ttf_blend))
+        per_doc: dict[int, list] = {}
+        for t, b in present:  # ascending-term order (pinned)
+            ix, tf = idx.postings[t]
+            sc = sim.score(tf, idx.dlq[ix], np.full(len(ix), w, dtype=np.float32))
+            for i, v in zip(ix, sc):
+                per_doc.setdefault(int(i), []).append(np.float32(b * np.float32(v)))
+        items = [
+            (int(idx.doc_ids[i]), float(K.dismax_combine(scs, tie)))
+            for i, scs in per_doc.items()
+        ]
+        dids = np.array([d for d, _ in items], dtype=np.int64)
+        scores = np.array([s for _, s in items], dtype=np.float32)
+        return _rank(dids, scores, k, search_after)
     if qt == "dismax":
         terms = sorted({c["term"] for c in q["queries"]})
         tie = float(q.get("tie", 0.0))

@@ -121,6 +121,7 @@ class IndexSearcher:
         self.terms = spark.read.parquet(os.path.join(index_dir, terms_dir))
         self.docmap = spark.read.parquet(os.path.join(index_dir, "docmap"))
         self._term_dict = None
+        self._norms_df = None
         if cache:
             self.postings = self.postings.persist()
             # terms dict fits the driver comfortably below ~2M entries:
@@ -790,6 +791,8 @@ class IndexSearcher:
         qt = query.get("type")
         if qt == "match_all":
             return self.docmap.select("doc_id")
+        if qt == "field_exists":
+            return self._field_exists_docs()
         if qt in ("boost", "const_score"):
             return self.matching_docs_df(query["query"])
         if qt in CONSTANT_SCORE_TYPES or qt == "fuzzy":
@@ -802,6 +805,8 @@ class IndexSearcher:
             return self._matching_docs(terms)
         if qt == "synonym":
             return self._matching_docs(sorted(set(query["terms"])))
+        if qt == "blended":
+            return self._matching_docs(sorted({c["term"] for c in query["terms"]}))
         if qt in ("phrase", "multi_phrase"):
             freq = (
                 self._phrase_freq_lucene(query)
@@ -849,6 +854,26 @@ class IndexSearcher:
 
     def _empty_docs(self) -> DataFrame:
         return self.spark.createDataFrame([], "doc_id long")
+
+    @property
+    def norms_df(self) -> DataFrame:
+        """(doc_id, dl, dlq) — the per-doc norms store, lazily opened (the
+        .nvd reader; only field-exists / diagnostics need the whole
+        column, scoring reads norm bytes off the posting blocks)."""
+        if self._norms_df is None:
+            self._norms_df = self.spark.read.parquet(
+                os.path.join(self.index_dir, "norms")
+            )
+        return self._norms_df
+
+    def _field_exists_docs(self) -> DataFrame:
+        """FieldExistsQuery (clt/search/mod.rs field_exists_query [stub];
+        Lucene 9 semantics: matches docs with any indexed value for the
+        field — for a tokenized text field, norms exist iff the doc
+        produced >= 1 token). This searcher IS one field's sub-index
+        (search/multifield.py routes the 'field' key), so the match set is
+        the norms rows with dl > 0 — a pure columnar scan, no postings."""
+        return self.norms_df.filter(F.col("dl") > 0).select("doc_id")
 
     # -- rewrite (MultiTermQuery expansion, clt/search/mod.rs:94) -------------
 
@@ -1275,6 +1300,8 @@ class IndexSearcher:
             return self._driver_synonym_rows(query, k, search_after)
         if qt == "dismax":
             return self._driver_dismax_rows(query, k, search_after)
+        if qt == "blended":
+            return self._driver_blended_rows(query, k, search_after)
         if qt in ("phrase", "multi_phrase"):
             return self._driver_phrase_rows(query, k, search_after)
         if qt == "fuzzy":
@@ -1333,6 +1360,12 @@ class IndexSearcher:
             return self.matching_docs_df(query["query"]).select(
                 "doc_id", F.lit(c).cast("float").alias("score")
             )
+        if qt == "field_exists":
+            # FieldExistsQuery scores like ConstantScore (Lucene semantics)
+            boost = float(np.float32(query.get("boost", 1.0)))
+            return self._field_exists_docs().select(
+                "doc_id", F.lit(boost).cast("float").alias("score")
+            )
         if qt in CONSTANT_SCORE_TYPES:
             terms = self.expand_query_terms(query)
             if not terms:
@@ -1352,6 +1385,8 @@ class IndexSearcher:
             qt = "bool"
         if qt == "dismax":
             return self._dismax_hits(query)
+        if qt == "blended":
+            return self._blended_hits(query)
         if qt == "synonym":
             return self._synonym_hits(query)
         if qt in ("phrase", "multi_phrase"):
@@ -1459,7 +1494,8 @@ class IndexSearcher:
         short-circuit through the driver path without materializing a
         DataFrame at all (no local-collect job)."""
         if query.get("type") in (
-            "term", "bool", "synonym", "dismax", "phrase", "multi_phrase", "fuzzy"
+            "term", "bool", "synonym", "dismax", "blended", "phrase",
+            "multi_phrase", "fuzzy"
         ) or query.get("type") in CONSTANT_SCORE_TYPES:
             rows = self._driver_search_rows(query, k, search_after, prune)
             if rows is not None:
@@ -1629,6 +1665,10 @@ class IndexSearcher:
             rows = self._driver_synonym_rows(query, self.doc_count, None)
             if rows is not None:
                 return len(rows)
+        elif qt == "blended":
+            rows = self._driver_blended_rows(query, self.doc_count, None)
+            if rows is not None:
+                return len(rows)
         elif qt in CONSTANT_SCORE_TYPES or qt == "fuzzy":
             docs = self._driver_expansion_docs(query)
             if docs is not None:
@@ -1791,6 +1831,81 @@ class IndexSearcher:
                 yield pd.DataFrame({"doc_id": pdf["doc_id"], "score": sc})
 
         return freqs.mapInPandas(score_kernel, schema="doc_id long, score float")
+
+    def _blended_stats(self, query: dict):
+        """Shared blend for BlendedTermQuery (clt/search/mod.rs:3 [stub];
+        Lucene 9 semantics): df = max, ttf = max over the present terms
+        (blend() equalizes term contexts upward), one shared weight, plus
+        the per-term boosts. Returns (clauses, stats-with-blended-idf,
+        tie) or None when nothing matched."""
+        clauses = sorted(
+            (c["term"], float(np.float32(c.get("boost", 1.0)))) for c in query["terms"]
+        )
+        if len({t for t, _ in clauses}) != len(clauses):
+            raise ValueError("blended terms must be distinct")
+        tie = float(query.get("tie", 0.01))
+        st = self.term_stats([t for t, _ in clauses])
+        present = [(t, b) for t, b in clauses if t in st]
+        if not present:
+            return None
+        df_blend = max(st[t]["doc_freq"] for t, _ in present)
+        ttf_blend = max(st[t]["total_term_freq"] for t, _ in present)
+        w = float(np.float32(self.sim.weight(df_blend, ttf_blend)))
+        stats = {t: {**st[t], "idf": w} for t, _ in present}
+        return present, stats, tie
+
+    def _blended_hits(self, query: dict) -> DataFrame:
+        """BlendedTermQuery hits: per-term score = boost * bm25(tf, dlq,
+        blended weight) in float32 (f32xf32 multiply is exact through the
+        double intermediate), combined with the pinned dismax fold."""
+        blend = self._blended_stats(query)
+        if blend is None:
+            return self._empty_result()
+        present, stats, tie = blend
+        boost_map = F.create_map(
+            *[x for t, b in present for x in (F.lit(t), F.lit(b))]
+        )
+        scored = self._scored_postings([t for t, _ in present], stats).select(
+            "doc_id",
+            "term",
+            (F.col("score") * boost_map[F.col("term")]).cast("float").alias("score"),
+        )
+        return (
+            scored.groupBy("doc_id")
+            .agg(F.collect_list(F.struct("term", "score")).alias("parts"))
+            .select("doc_id", _dismax_fold(F.col("parts"), tie).alias("score"))
+        )
+
+    def _driver_blended_rows(self, query: dict, k, search_after) -> list | None:
+        """Driver path for BlendedTermQuery (same crossover as dismax)."""
+        blend = self._blended_stats(query)
+        if blend is None:
+            return []
+        present, stats, tie = blend
+        if sum(stats[t]["doc_freq"] for t, _ in present) > self.DRIVER_EXEC_MAX_POSTINGS:
+            return None
+        if not self._driver_tomb_ready():
+            return None
+        arrs = self._driver_collect_postings([t for t, _ in present])
+        if arrs is None:
+            return []
+        per_doc: dict[int, list] = {}
+        for t, b in present:  # ascending term — pinned combine order
+            if t not in arrs:
+                continue
+            docs, tfs, dlqs = arrs[t]
+            s = self.sim.score(
+                tfs, dlqs, np.full(len(tfs), np.float32(stats[t]["idf"]), np.float32)
+            )
+            bf = np.float32(b)
+            for d, v in zip(docs.tolist(), s):
+                per_doc.setdefault(d, []).append(np.float32(bf * np.float32(v)))
+        docs_f = np.array(sorted(per_doc), dtype=np.int64)
+        scores_f = np.array(
+            [K.dismax_combine(per_doc[int(d)], tie) for d in docs_f], dtype=np.float32
+        )
+        docs_f, scores_f = self._drop_deleted_np(docs_f, scores_f)
+        return self._rank_rows(docs_f, scores_f, k, search_after)
 
     def _dismax_hits(self, query: dict) -> DataFrame:
         """DisjunctionMaxQuery (clt/search/mod.rs:32-33): max over per-term
