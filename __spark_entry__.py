@@ -396,6 +396,23 @@ def _engine_field_lang_count(spark, sf_dir):
     )
 
 
+def _engine_term_vector(spark, sf_dir):
+    """Term-vector API (clt/codecs/lucene90/mod.rs:25 analog): per-doc
+    (term, tf) derived from the postings by a zone-map block seek —
+    checked against the oracle's per-doc counts for one fixed doc."""
+    from pyspark.sql import functions as F
+
+    from lucene_rust_spark.entry_helpers import gate_searcher
+
+    s = gate_searcher(spark, sf_dir)
+    row = s.docmap.filter(F.col("path") == "doc/7").select("doc_id").first()
+    if row is None:
+        return spark.createDataFrame([], "term string, tf long")
+    return s.term_vector(int(row["doc_id"])).select(
+        "term", F.col("tf").cast("long").alias("tf")
+    )
+
+
 def _engine_field_exists_count(spark, sf_dir):
     """FieldExistsQuery (clt/search/mod.rs field_exists_query): docs with
     >= 1 token in the sparse opt_field (empty for doc_id % 3 == 0) — the
@@ -599,6 +616,11 @@ _ENGINE_QUERIES = {
     "engine_field_exists_count": (
         _engine_field_exists_count,
         "SELECT count(*)::BIGINT AS n_hits FROM documents WHERE doc_id % 3 <> 0",
+    ),
+    "engine_term_vector": (
+        _engine_term_vector,
+        f"{_TOKS_CTE} SELECT u.term, count(*)::BIGINT AS tf "
+        "FROM tk, unnest(toks) AS u(term) WHERE tk.doc_id = 7 GROUP BY u.term",
     ),
     "engine_snippets": (
         _engine_snippets,

@@ -697,6 +697,63 @@ class IndexSearcher:
 
         return blocks.mapInPandas(decode, schema="doc_id long").distinct()
 
+    def term_vector(self, doc_id: int) -> DataFrame:
+        """(term string, tf int) for ONE doc — the TermVectors reader
+        surface (clt/codecs/lucene90/mod.rs:25 term_vectors [stub];
+        Lucene's per-doc term/freq access). This index stores no .tvd
+        row-stream; the vector is DERIVED from the postings via the
+        zone-map block seek: only blocks whose [first_doc, last_doc] span
+        the doc are opened (one block per term that could contain it),
+        and membership is decided inside the decode kernel. Lucene
+        semantics: readable for tombstoned docs too, until a merge
+        reclaims them."""
+        did = int(doc_id)
+        blocks = self.postings.filter(
+            (F.col("first_doc") <= did) & (F.col("last_doc") >= did)
+        ).select("term", "n", "first_doc", "docs_bin", "tfs_bin")
+
+        def decode(batches, _d=did):
+            for pdf in batches:
+                terms, tfs = [], []
+                for term, n, fd, db, tb in zip(
+                    pdf["term"], pdf["n"], pdf["first_doc"], pdf["docs_bin"], pdf["tfs_bin"]
+                ):
+                    n = int(n)
+                    docs = np.int64(fd) + np.cumsum(
+                        K.for_unpack(bytes(db), n)
+                    ).astype(np.int64)
+                    i = int(np.searchsorted(docs, _d))
+                    if i < n and docs[i] == _d:
+                        terms.append(term)
+                        tfs.append(int(K.for_unpack(bytes(tb), n)[i]))
+                if terms:
+                    yield pd.DataFrame({"term": terms, "tf": np.array(tfs, np.int32)})
+
+        return blocks.mapInPandas(decode, schema="term string, tf int")
+
+    def more_like_this(
+        self, doc_id: int, k: int = 10, max_query_terms: int = 25
+    ) -> list:
+        """MoreLikeThis flow over the term-vector API (Lucene's
+        queries/mlt, driven by TermVectors): pick the doc's top terms by
+        tf * idf (ties broken by term asc), run them as a SHOULD boolean.
+        The source doc itself ranks first (it matches every clause) —
+        callers filter it if unwanted, as Lucene's MLT users do."""
+        tv = self.term_vector(doc_id).collect()
+        if not tv:
+            return []
+        stats = self.term_stats(sorted(r["term"] for r in tv))
+        ranked = sorted(
+            (
+                (-(int(r["tf"]) * stats[r["term"]]["idf"]), r["term"])
+                for r in tv
+                if r["term"] in stats
+            ),
+        )[:max_query_terms]
+        from lucene_rust_spark.oracle.bm25 import bool_query
+
+        return self.search(bool_query(should=[t for _, t in ranked]), k)
+
     def term_postings(self, term: str) -> DataFrame:
         """(doc_id, tf, dlq) for one term — the PostingsEnum surface
         (clt/index/postings_enum.rs:4-6, flags=Freqs): decoded straight
