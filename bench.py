@@ -72,7 +72,12 @@ def main() -> None:
     idx_dir = f"/tmp/lrs_bench/index_{n_rows}_{cpus}"
     shutil.rmtree(idx_dir, ignore_errors=True)
     t0 = time.time()
-    manifest = build_index(spark, src, idx_dir, num_partitions=num_partitions)
+    # sort_key: the IndexSorter hook — length-clustered docIDs make the
+    # per-block impacts discriminative, so the reported WAND prune ratio
+    # reflects the production (sorted) configuration (BENCH/WAND_SORTED.md)
+    manifest = build_index(
+        spark, src, idx_dir, num_partitions=num_partitions, sort_key="content_len"
+    )
     build_sec = time.time() - t0
     assert manifest["doc_count"] == n_rows
 
@@ -133,6 +138,48 @@ def main() -> None:
     kept_blocks = kept_blocks_df.count()
     prune_ratio = round(1.0 - kept_blocks / max(total_blocks, 1), 4)
 
+    # --- sf1 phase (r4, VERDICT item 10): 10x volume -------------------------
+    # exercises build wave balance and the driver/distributed crossover at
+    # 200k rows; reported as sf1_* fields (the headline `value` stays the
+    # sf0.1 protocol so rounds remain comparable). LRS_BENCH_SKIP_SF1=1
+    # skips it (debug escape hatch).
+    sf1 = {}
+    if not os.environ.get("LRS_BENCH_SKIP_SF1"):
+        n1 = 200_000
+        corpus1 = f"/tmp/lrs_bench/corpus_{n1}"
+        if not os.path.exists(os.path.join(corpus1, "_SUCCESS")):
+            gen_corpus_spark(spark, n1, 2048).write.mode("overwrite").parquet(corpus1)
+        src1 = spark.read.parquet(corpus1)
+        idx1 = f"/tmp/lrs_bench/index_{n1}_{cpus}"
+        shutil.rmtree(idx1, ignore_errors=True)
+        t0 = time.time()
+        m1 = build_index(
+            spark, src1, idx1, num_partitions=num_partitions, sort_key="content_len"
+        )
+        b1 = time.time() - t0
+        assert m1["doc_count"] == n1
+        t0 = time.time()
+        merge_segments(spark, idx1, fan_in=16)
+        g1 = time.time() - t0
+        s1 = IndexSearcher(spark, idx1, cache=True)
+        for q in queries:
+            s1.search(q["query"], q["k"])
+        lat1 = []
+        for q in queries:
+            t1 = time.time()
+            s1.search(q["query"], q["k"])
+            lat1.append(time.time() - t1)
+        lat1.sort()
+        rate1 = n1 / (b1 + g1)
+        sf1 = {
+            "sf1_corpus_rows": n1,
+            "sf1_build_sec": round(b1, 3),
+            "sf1_merge_sec": round(g1, 3),
+            "sf1_files_per_sec": round(rate1, 1),
+            "sf1_rate_ratio": round(rate1 / (n_rows / (build_sec + merge_sec)), 3),
+            "sf1_query_p50_ms": round(lat1[len(lat1) // 2] * 1000, 1),
+        }
+
     total = round(build_sec + merge_sec + sum(q_times.values()), 3)
     print(
         json.dumps(
@@ -150,6 +197,7 @@ def main() -> None:
                 "query_p50_ms": round(p50 * 1000, 1),
                 "query_p50_ms_distributed": round(p50_dist * 1000, 1),
                 "wand_block_prune_ratio": prune_ratio,
+                **sf1,
             }
         )
     )

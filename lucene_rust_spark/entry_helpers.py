@@ -33,6 +33,12 @@ def gate_payload_fn(tokens, positions):
     return (positions % 7).astype(np.uint8)
 
 
+# named so streaming appends onto gate-style indexes can resolve it
+from lucene_rust_spark.functions.analysis import register_payload_fn  # noqa: E402
+
+register_payload_fn("pos_mod7", gate_payload_fn)
+
+
 def gate_searcher(spark: SparkSession, sf_dir: str):
     """Build (or reuse) the engine index for sf_dir's documents table and
     return an IndexSearcher. The index is cached on disk across calls."""

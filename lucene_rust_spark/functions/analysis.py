@@ -179,3 +179,41 @@ def default_payload_fn(tokens, positions):
         elif t.isalpha():
             out[i] = 0
     return out
+
+
+# -- payload-fn registry (r4, VERDICT item 8) --------------------------------
+# A manifest cannot serialize a callable, so streaming appends could only
+# replay a payload build if the fn is NAMED: builds record the registry
+# name, appends resolve it back. Unregistered callables are recorded as
+# 'custom' and appends REFUSE them (a silent downgrade to the default fn
+# would change payload semantics mid-index).
+
+PAYLOAD_REGISTRY: dict = {"token_type": default_payload_fn}
+
+
+def register_payload_fn(name: str, fn) -> None:
+    """Register a vectorized (tokens, positions) -> uint8[] payload fn
+    under a stable name so appends can resolve it across processes."""
+    PAYLOAD_REGISTRY[name] = fn
+
+
+def resolve_payload_fn(spec):
+    """(fn_or_None, name_or_None) from a build/append payload spec:
+    None/False -> off; True -> the default token-type fn; a registered
+    name -> that fn; a callable -> itself (named if registered, else
+    'custom')."""
+    if not spec:
+        return None, None
+    if spec is True:
+        return default_payload_fn, "token_type"
+    if isinstance(spec, str):
+        if spec not in PAYLOAD_REGISTRY:
+            raise ValueError(
+                f"unknown payload fn {spec!r} — register_payload_fn() it first "
+                f"(registered: {sorted(PAYLOAD_REGISTRY)})"
+            )
+        return PAYLOAD_REGISTRY[spec], spec
+    for n, f in PAYLOAD_REGISTRY.items():
+        if f is spec:
+            return spec, n
+    return spec, "custom"

@@ -782,6 +782,7 @@ def build_index(
         "char_filters": [list(cf) for cf in char_filters] if char_filters else None,
         "codec": codec,
         "sort_key": sort_key,
+        "payload_fn": _payload_name(payloads),
         "doc_count": doc_count,
         "sum_total_term_freq": sum_ttf,
         "num_partitions": num_partitions,
@@ -896,6 +897,7 @@ def _build_group(
     stop_words=None, char_filters=None, codec: str = "for",
     word_break: str = "simple", offsets: bool = False, payloads=None,
     sort_key: str | None = None,
+    norms_dirname: str = "norms", docmap_dirname: str = "docmap",
 ) -> dict:
     """Build one checkpoint group from its (pre-filtered) slice of the
     corpus. With the dwpt analyzer the slice's content is read EXACTLY
@@ -906,8 +908,11 @@ def _build_group(
     d = assign_doc_ids(docs_with_part, sort_key=sort_key).persist()
 
     def gdir(name: str) -> str:
-        if name == "postings":
-            name = postings_dirname
+        # route writes into the index's CURRENT store generations (merge
+        # compactions move postings/norms/docmap to *_gN dirs; appends
+        # must land beside them, not in the superseded originals)
+        name = {"postings": postings_dirname, "norms": norms_dirname,
+                "docmap": docmap_dirname}.get(name, name)
         return os.path.join(out_dir, name, f"group={g}")
 
     t = time.time()
@@ -975,9 +980,9 @@ def _build_group(
         sw = frozenset(stop_words) if stop_words else None
         cf = tuple(tuple(c) for c in char_filters) if char_filters else None
 
-        from lucene_rust_spark.functions.analysis import default_payload_fn
+        from lucene_rust_spark.functions.analysis import resolve_payload_fn
 
-        pfn = default_payload_fn if payloads is True else (payloads or None)
+        pfn, _ = resolve_payload_fn(payloads)
 
         def dwpt(batches, _p=positions, _sw=sw, _cf=cf, _pf=(codec == "pfor"), _wb=word_break, _of=offsets, _pl=pfn):
             return _dwpt_partition(
@@ -1059,6 +1064,12 @@ def _build_group(
         "segments": segments,
         "content_sha256_xor": _xor_hexes(s["content_sha256_xor"] for s in segments),
     }
+
+
+def _payload_name(payloads) -> str | None:
+    from lucene_rust_spark.functions.analysis import resolve_payload_fn
+
+    return resolve_payload_fn(payloads)[1]
 
 
 def _xor_hexes(hexes) -> str:

@@ -28,20 +28,41 @@ from pyspark.sql import functions as F
 from lucene_rust_spark.index.manifest import commit_manifest, read_manifest
 
 TOMBSTONE_DIR = "tombstones"
+SOFT_TOMBSTONE_DIR = "soft_tombstones"
 
 
-def read_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
-    """Union of all tombstone generations → (doc_id) or None when empty."""
-    gens = sorted(glob.glob(os.path.join(index_dir, TOMBSTONE_DIR, "gen=*")))
-    if not gens:
+def read_tombstones(
+    spark: SparkSession, index_dir: str, kind: str = "all"
+) -> DataFrame | None:
+    """Union of tombstone generations → (doc_id) or None when empty.
+    kind: 'hard' | 'soft' | 'all'. Soft deletes (r4, VERDICT item 9; the
+    soft_deletes_retention_merge_policy surface, clt/index/mod.rs:120-121)
+    live in their own generation dirs: a normal reader hides hard AND soft
+    tombstones, a soft_deletes=True reader keeps soft-deleted docs visible
+    (Lucene's reader-over-the-soft-deletes-field view), and a merge
+    reclaims both."""
+    m = read_manifest(index_dir) or {}
+    reclaimed = set(m.get("reclaimed_tombstone_dirs", ()))
+    dirs = []
+    if kind in ("hard", "all"):
+        dirs += sorted(glob.glob(os.path.join(index_dir, TOMBSTONE_DIR, "gen=*")))
+    if kind in ("soft", "all"):
+        dirs += sorted(glob.glob(os.path.join(index_dir, SOFT_TOMBSTONE_DIR, "gen=*")))
+    # generations already folded into the current postings generation by a
+    # reclaiming merge are skipped — the FILES stay (readers of the old
+    # manifest generation still apply them to the old postings)
+    dirs = [d for d in dirs if os.path.relpath(d, index_dir) not in reclaimed]
+    if not dirs:
         return None
-    return spark.read.parquet(*gens).select("doc_id").distinct()
+    return spark.read.parquet(*dirs).select("doc_id").distinct()
 
 
-def delete_by_ids(spark: SparkSession, index_dir: str, doc_ids) -> dict:
+def delete_by_ids(
+    spark: SparkSession, index_dir: str, doc_ids, soft: bool = False
+) -> dict:
     """Delete by internal doc_id (list[int] or a (doc_id) DataFrame).
-    Appends a tombstone generation + commits a manifest with updated
-    del_count. Idempotent on re-delete (distinct union at read)."""
+    Appends a (hard or soft) tombstone generation + commits a manifest
+    with updated counts. Idempotent on re-delete (distinct at read)."""
     m = read_manifest(index_dir)
     if m is None:
         raise FileNotFoundError(f"no manifest in {index_dir}")
@@ -50,18 +71,28 @@ def delete_by_ids(spark: SparkSession, index_dir: str, doc_ids) -> dict:
     else:
         df = spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id long")
     gen = m["generation"] + 1
-    dest = os.path.join(index_dir, TOMBSTONE_DIR, f"gen={gen}")
+    dest = os.path.join(
+        index_dir, SOFT_TOMBSTONE_DIR if soft else TOMBSTONE_DIR, f"gen={gen}"
+    )
     df.distinct().write.mode("overwrite").parquet(dest)
 
-    all_tomb = read_tombstones(spark, index_dir)
-    del_count = all_tomb.count() if all_tomb is not None else 0
+    hard = read_tombstones(spark, index_dir, kind="hard")
+    soft_t = read_tombstones(spark, index_dir, kind="soft")
     manifest = dict(m)
-    manifest.update({"generation": gen, "del_count": del_count})
+    manifest.update(
+        {
+            "generation": gen,
+            "del_count": hard.count() if hard is not None else 0,
+            "soft_del_count": soft_t.count() if soft_t is not None else 0,
+        }
+    )
     commit_manifest(index_dir, manifest)
     return manifest
 
 
-def delete_by_term(spark: SparkSession, index_dir: str, term: str) -> dict:
+def delete_by_term(
+    spark: SparkSession, index_dir: str, term: str, soft: bool = False
+) -> dict:
     """Delete every live doc containing `term` (IndexWriter.deleteDocuments
     (Term) analog, clt/index/mod.rs:77 [stub]): resolve the doc set from
     the postings (docs-only decode, no scoring) and tombstone it."""
@@ -69,7 +100,7 @@ def delete_by_term(spark: SparkSession, index_dir: str, term: str) -> dict:
 
     s = IndexSearcher(spark, index_dir)
     docs = s._matching_docs([term])
-    return delete_by_ids(spark, index_dir, docs)
+    return delete_by_ids(spark, index_dir, docs, soft=soft)
 
 
 def check_deletes(spark: SparkSession, index_dir: str) -> dict:
@@ -77,7 +108,7 @@ def check_deletes(spark: SparkSession, index_dir: str) -> dict:
     |tombstones|, every tombstone maps to a real doc, and live docs =
     doc_count - del_count (core/index/segment_index.rs:228-269 analog)."""
     m = read_manifest(index_dir)
-    t = read_tombstones(spark, index_dir)
+    t = read_tombstones(spark, index_dir, kind="hard")
     n_tomb = t.count() if t is not None else 0
     assert m.get("del_count", 0) == n_tomb, (m.get("del_count"), n_tomb)
     docmap = spark.read.parquet(os.path.join(index_dir, "docmap"))

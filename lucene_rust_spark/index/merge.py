@@ -22,11 +22,18 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from lucene_rust_spark.functions import kernels as K
-from lucene_rust_spark.index.build import _BLOCK_SCHEMA, _pack_runs
+from lucene_rust_spark.index.build import _BLOCK_SCHEMA, _pack_runs, write_terms_dict
 from lucene_rust_spark.index.manifest import commit_manifest, read_manifest
 
+# A reclaiming merge collects the tombstone ids to the driver (the
+# SegmentMerger liveDocs view shipped into the repack kernel); beyond this
+# bound the merge keeps the tombstones as filters instead (Lucene merges
+# per-segment and never needs the global set at once — at 10^12-doc scale
+# reclaim would run per segment group with per-group tombstone slices).
+RECLAIM_MAX_TOMBSTONES = 20_000_000
 
-def _repack_partition(batches, positions: bool = False, pfor: bool = False, offsets: bool = False, payloads: bool = False):
+
+def _repack_partition(batches, positions: bool = False, pfor: bool = False, offsets: bool = False, payloads: bool = False, tomb: np.ndarray | None = None):
     """Input: block rows sorted by (term, mseg, seg, block_no) — every
     (term, mseg) run is a globally docID-sorted sequence of packed blocks
     from fan_in source segments. Decode, concatenate, re-pack. Streaming
@@ -51,12 +58,17 @@ def _repack_partition(batches, positions: bool = False, pfor: bool = False, offs
             term, mseg, n, first_doc, db, tb, qb, pb, ob, lb, yb = row
             n = int(n)
             d = np.int64(first_doc) + np.cumsum(K.for_unpack(bytes(db), n)).astype(np.int64)
-            docs.append(d)
             t = K.for_unpack(bytes(tb), n).astype(np.int64)
-            tfs.append(t)
-            dlqs.append(np.frombuffer(bytes(qb), dtype=np.uint8).astype(np.int64))
-            terms.append(np.repeat(term, n))
-            msegs.append(np.full(n, int(mseg), dtype=np.int64))
+            q = np.frombuffer(bytes(qb), dtype=np.uint8).astype(np.int64)
+            keep = None
+            if tomb is not None and len(tomb):
+                # merge-time reclaim (r4): tombstoned postings vanish from
+                # the merged generation (Lucene SegmentMerger liveDocs)
+                j = np.searchsorted(tomb, d)
+                j_c = np.minimum(j, len(tomb) - 1)
+                hit = (j < len(tomb)) & (tomb[j_c] == d)
+                if hit.any():
+                    keep = ~hit
             if positions:
                 total = int(t.sum())
                 pdeltas = K.for_unpack(bytes(pb), total).astype(np.int64)
@@ -66,17 +78,40 @@ def _repack_partition(batches, positions: bool = False, pfor: bool = False, offs
                 base = np.zeros(total, dtype=np.int64)
                 base[offs[1:]] = cs[offs[1:] - 1]
                 np.maximum.accumulate(base, out=base)
-                pos.append(cs - base)
+                p_abs = cs - base
+                o_abs = l_arr = y_arr = None
                 if offsets:
                     odeltas = K.for_unpack(bytes(ob), total).astype(np.int64)
                     ocs = np.cumsum(odeltas)
                     obase = np.zeros(total, dtype=np.int64)
                     obase[offs[1:]] = ocs[offs[1:] - 1]
                     np.maximum.accumulate(obase, out=obase)
-                    ostarts.append(ocs - obase)
-                    olens.append(K.for_unpack(bytes(lb), total).astype(np.int64))
+                    o_abs = ocs - obase
+                    l_arr = K.for_unpack(bytes(lb), total).astype(np.int64)
                 if payloads:
-                    pays.append(np.frombuffer(bytes(yb), dtype=np.uint8).astype(np.int64))
+                    y_arr = np.frombuffer(bytes(yb), dtype=np.uint8).astype(np.int64)
+                if keep is not None:
+                    keep_occ = np.repeat(keep, t)
+                    p_abs = p_abs[keep_occ]
+                    if o_abs is not None:
+                        o_abs, l_arr = o_abs[keep_occ], l_arr[keep_occ]
+                    if y_arr is not None:
+                        y_arr = y_arr[keep_occ]
+                pos.append(p_abs)
+                if offsets:
+                    ostarts.append(o_abs)
+                    olens.append(l_arr)
+                if payloads:
+                    pays.append(y_arr)
+            if keep is not None:
+                d, t, q = d[keep], t[keep], q[keep]
+            if len(d) == 0:
+                continue
+            docs.append(d)
+            tfs.append(t)
+            dlqs.append(q)
+            terms.append(np.repeat(term, len(d)))
+            msegs.append(np.full(len(d), int(mseg), dtype=np.int64))
         if not docs:
             return None
         out = [
@@ -189,6 +224,15 @@ def merge_segments(
     width = width or spark.sparkContext.defaultParallelism
     m = read_manifest(index_dir)
     assert m is not None
+    from lucene_rust_spark.index.deletes import read_tombstones
+
+    tomb_df = read_tombstones(spark, index_dir, kind="all")
+    tomb_arr = None
+    if tomb_df is not None:
+        if tomb_df.count() <= RECLAIM_MAX_TOMBSTONES:
+            tomb_arr = np.array(
+                sorted(r["doc_id"] for r in tomb_df.collect()), dtype=np.int64
+            )
     positions = bool(m.get("positions"))
     offsets = bool(m.get("offsets"))
     payloads = bool(m.get("payloads"))
@@ -222,9 +266,19 @@ def merge_segments(
 
     pfor = m.get("codec") == "pfor"
 
-    def repack(batches, _p=positions, _pf=pfor, _o=offsets, _y=payloads):
-        return _repack_partition(batches, positions=_p, pfor=_pf, offsets=_o, payloads=_y)
+    def repack(batches, _p=positions, _pf=pfor, _o=offsets, _y=payloads, _t=tomb_arr):
+        return _repack_partition(batches, positions=_p, pfor=_pf, offsets=_o, payloads=_y, tomb=_t)
 
+    if tomb_arr is not None and len(tomb_arr) and passthrough_msegs:
+        # segments holding tombstoned docs must go through the repack
+        # kernel so the reclaim filter runs (no passthrough for them)
+        tomb_segs = {int(x) for x in np.unique(tomb_arr >> 40)}
+        live_by_mseg: dict[int, set] = {}
+        for s in m["segments"]:
+            live_by_mseg.setdefault(seg_of(s), set()).add(s["seg"])
+        passthrough_msegs = [
+            g for g in passthrough_msegs if not (live_by_mseg.get(g, set()) & tomb_segs)
+        ]
     to_repack = keyed
     passthrough = None
     if passthrough_msegs:
@@ -251,19 +305,36 @@ def merge_segments(
     out_postings = os.path.join(index_dir, f"postings_g{gen}", "group=0")
     merged.write.mode("overwrite").parquet(out_postings)
 
-    # merged segment records: group source segments by mseg
+    manifest = dict(m)
+    live_stats = None
+    if tomb_arr is not None and len(tomb_arr):
+        live_stats = _reclaim_stores(spark, index_dir, m, gen, tomb_df, width)
+        manifest.update(live_stats["manifest_patch"])
+
+    # merged segment records: group source segments by mseg; a reclaiming
+    # merge replaces each source segment's stats with its LIVE recompute
+    per_src = live_stats["per_seg"] if live_stats else None
     segs: dict[int, dict] = {}
     for s in m["segments"]:
+        if per_src is not None:
+            stats = per_src.get(
+                s["seg"], {"max_doc": 0, "sum_ttf": 0, "sha": 0, "doc_base": s["doc_base"]}
+            )
+            src_doc, src_ttf, src_sha = stats["max_doc"], stats["sum_ttf"], stats["sha"]
+            src_base = stats["doc_base"]
+        else:
+            src_doc, src_ttf = s["max_doc"], s["sum_ttf"]
+            src_sha, src_base = int(s["content_sha256_xor"], 16), s["doc_base"]
         t = segs.setdefault(
             seg_of(s),
             {"seg": seg_of(s), "max_doc": 0, "sum_ttf": 0,
-             "doc_base": s["doc_base"], "del_count": 0, "sha_acc": 0,
+             "doc_base": src_base, "del_count": 0, "sha_acc": 0,
              "group": s.get("group", 0), "merged_from": []},
         )
-        t["max_doc"] += s["max_doc"]
-        t["sum_ttf"] += s["sum_ttf"]
-        t["doc_base"] = min(t["doc_base"], s["doc_base"])
-        t["sha_acc"] ^= int(s["content_sha256_xor"], 16)
+        t["max_doc"] += src_doc
+        t["sum_ttf"] += src_ttf
+        t["doc_base"] = min(t["doc_base"], src_base)
+        t["sha_acc"] ^= src_sha
         t["merged_from"].append(s["seg"])
     segments = []
     for seg in sorted(segs):
@@ -271,7 +342,6 @@ def merge_segments(
         t["content_sha256_xor"] = format(t.pop("sha_acc") & 0xFFFFFFFFFFFFFFFF, "016x")
         segments.append(t)
 
-    manifest = dict(m)
     manifest.update(
         {
             "generation": gen,
@@ -280,5 +350,113 @@ def merge_segments(
             "merge_fan_in": fan_in,
         }
     )
+    if live_stats:
+        manifest["doc_count"] = sum(s["max_doc"] for s in segments)
+        manifest["sum_total_term_freq"] = sum(s["sum_ttf"] for s in segments)
     commit_manifest(index_dir, manifest)
     return manifest
+
+
+def _reclaim_stores(spark, index_dir, m, gen, tomb_df, width):
+    """Fold the tombstones into every store for the new generation
+    (Lucene merge reclaim, hard AND soft): norms/docmap are rewritten
+    minus the deleted docs, the terms dict is re-derived from the merged
+    postings' block METADATA (sum n / sum_tf — no decode), and the
+    manifest records the folded tombstone dirs so new readers skip them
+    while old-generation readers still apply them."""
+    import glob as _glob
+
+    from lucene_rust_spark.index.deletes import SOFT_TOMBSTONE_DIR, TOMBSTONE_DIR
+
+    tomb = F.broadcast(tomb_df)
+    norms_dir = m.get("norms_dir", "norms")
+    docmap_dir = m.get("docmap_dir", "docmap")
+    norms_new = (
+        spark.read.parquet(os.path.join(index_dir, norms_dir))
+        .select("doc_id", "dl", "dlq")
+        .join(tomb, "doc_id", "left_anti")
+    )
+    norms_new.repartitionByRange(max(1, width // 4), "doc_id").sortWithinPartitions(
+        "doc_id"
+    ).write.mode("overwrite").parquet(
+        os.path.join(index_dir, f"norms_g{gen}", "group=0")
+    )
+    dm_cols = ["doc_id", "repo", "path", "commit", "lang", "content_sha256"]
+    docmap_new = (
+        spark.read.parquet(os.path.join(index_dir, docmap_dir))
+        .select(*dm_cols)
+        .join(tomb, "doc_id", "left_anti")
+    )
+    docmap_new.repartitionByRange(max(1, width // 4), "doc_id").sortWithinPartitions(
+        "doc_id"
+    ).write.mode("overwrite").parquet(
+        os.path.join(index_dir, f"docmap_g{gen}", "group=0")
+    )
+
+    # per-source-seg live stats (seg = doc_id high bits — stable across
+    # merges) for the segment records + manifest counters
+    from lucene_rust_spark.index.build import PARTITION_SHIFT
+
+    seg_col = F.shiftright("doc_id", PARTITION_SHIFT).alias("src_seg")
+    dm = (
+        spark.read.parquet(os.path.join(index_dir, f"docmap_g{gen}"))
+        .groupBy(seg_col)
+        .agg(
+            F.count("*").alias("max_doc"),
+            F.min("doc_id").alias("doc_base"),
+            F.bit_xor(
+                F.conv(F.substring("content_sha256", 1, 15), 16, 10).cast("long")
+            ).alias("sha"),
+        )
+        .collect()
+    )
+    nm = (
+        spark.read.parquet(os.path.join(index_dir, f"norms_g{gen}"))
+        .groupBy(seg_col)
+        .agg(F.sum("dl").alias("ttf"))
+        .collect()
+    )
+    ttf_by_seg = {int(r["src_seg"]): int(r["ttf"]) for r in nm}
+    per_seg = {
+        int(r["src_seg"]): {
+            "max_doc": int(r["max_doc"]),
+            "doc_base": int(r["doc_base"]),
+            "sha": int(r["sha"]) & 0xFFFFFFFFFFFFFFFF,
+            "sum_ttf": ttf_by_seg.get(int(r["src_seg"]), 0),
+        }
+        for r in dm
+    }
+
+    # terms dict from the MERGED postings' block metadata (no decode)
+    merged_postings = spark.read.parquet(os.path.join(index_dir, f"postings_g{gen}"))
+    agg = merged_postings.groupBy("term").agg(
+        F.sum("n").cast("long").alias("doc_freq"),
+        F.sum("sum_tf").cast("long").alias("total_term_freq"),
+        F.count("*").cast("long").alias("n_blocks"),
+    )
+    write_terms_dict(
+        agg, os.path.join(index_dir, f"terms_g{gen}"), max(1, width // 8)
+    )
+
+    # per-group terms partials are now stale (they include reclaimed docs);
+    # remove them so appends re-aggregate from the merged postings instead
+    import shutil
+
+    shutil.rmtree(os.path.join(index_dir, "terms_partial"), ignore_errors=True)
+
+    folded = [
+        os.path.relpath(d, index_dir)
+        for pat in (TOMBSTONE_DIR, SOFT_TOMBSTONE_DIR)
+        for d in sorted(_glob.glob(os.path.join(index_dir, pat, "gen=*")))
+    ]
+    patch = {
+        "norms_dir": f"norms_g{gen}",
+        "docmap_dir": f"docmap_g{gen}",
+        "terms_dir": f"terms_g{gen}",
+        "del_count": 0,
+        "soft_del_count": 0,
+        "reclaimed_tombstone_dirs": sorted(
+            set(m.get("reclaimed_tombstone_dirs", ())) | set(folded)
+        ),
+    }
+    return {"per_seg": per_seg, "manifest_patch": patch}

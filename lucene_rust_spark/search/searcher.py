@@ -96,18 +96,26 @@ class IndexSearcher:
         cache: bool = False,
         similarity: str = "bm25",
         tombstones: DataFrame | None = None,
+        soft_deletes: bool = False,
     ):
         """tombstones: optional (doc_id) DataFrame of ephemeral deletes
         applied on top of any on-disk tombstone generations — the
-        IndexReader-with-liveDocs view (clt/index/leaf_reader.rs:250)."""
+        IndexReader-with-liveDocs view (clt/index/leaf_reader.rs:250).
+        soft_deletes=True keeps SOFT-tombstoned docs visible (Lucene's
+        reader over the soft-deletes field without the retention wrapper,
+        clt/index/mod.rs:120-121): hard deletes still hide; a merge
+        reclaims both kinds and the flag then has nothing left to show."""
         self.spark = spark
         self.index_dir = index_dir
+        self.soft_deletes = bool(soft_deletes)
         self.manifest = read_manifest(index_dir)
         if self.manifest is None:
             raise FileNotFoundError(f"no manifest in {index_dir}")
         from lucene_rust_spark.index.deletes import read_tombstones
 
-        disk_tomb = read_tombstones(spark, index_dir)
+        disk_tomb = read_tombstones(
+            spark, index_dir, kind="hard" if soft_deletes else "all"
+        )
         if tombstones is not None:
             t = tombstones.select(F.col(tombstones.columns[0]).cast("long").alias("doc_id"))
             disk_tomb = t if disk_tomb is None else disk_tomb.unionByName(t).distinct()
@@ -119,7 +127,9 @@ class IndexSearcher:
         self.postings = spark.read.parquet(os.path.join(index_dir, postings_dir))
         terms_dir = self.manifest.get("terms_dir", "terms")
         self.terms = spark.read.parquet(os.path.join(index_dir, terms_dir))
-        self.docmap = spark.read.parquet(os.path.join(index_dir, "docmap"))
+        self.docmap = spark.read.parquet(
+            os.path.join(index_dir, self.manifest.get("docmap_dir", "docmap"))
+        )
         self._term_dict = None
         self._norms_df = None
         if cache:
@@ -167,6 +177,7 @@ class IndexSearcher:
             self.index_dir,
             cache=cache,
             similarity=self.sim.name,
+            soft_deletes=self.soft_deletes,
         )
         return True
 
@@ -919,7 +930,7 @@ class IndexSearcher:
         column, scoring reads norm bytes off the posting blocks)."""
         if self._norms_df is None:
             self._norms_df = self.spark.read.parquet(
-                os.path.join(self.index_dir, "norms")
+                os.path.join(self.index_dir, self.manifest.get("norms_dir", "norms"))
             )
         return self._norms_df
 

@@ -52,14 +52,25 @@ def append_batch(
     )
     width = spark.sparkContext.defaultParallelism
     g = 1_000_000 + epoch  # group namespace for streaming appends
+    # payload fn continuity (r4, VERDICT item 8): resolve the build's
+    # RECORDED fn name through the registry — never silently downgrade to
+    # the default fn (that would change payload semantics mid-index)
+    pname = m.get("payload_fn") or ("token_type" if m.get("payloads") else None)
+    if pname == "custom":
+        raise ValueError(
+            "index was built with an UNREGISTERED custom payload fn — "
+            "register_payload_fn(name, fn) at build time so appends can "
+            "resolve it, or rebuild with a named fn"
+        )
     gs = _build_group(
         docs, index_dir, g, 1, width,
         positions=bool(m.get("positions")),
         postings_dirname=m.get("postings_dir", "postings"),
+        norms_dirname=m.get("norms_dir", "norms"),
+        docmap_dirname=m.get("docmap_dir", "docmap"),
         word_break=m.get("word_break", "simple"),
         offsets=bool(m.get("offsets")),
-        payloads=bool(m.get("payloads")),  # default fn only; custom fns
-        # must rebuild (the manifest cannot serialize a callable)
+        payloads=pname,  # resolved inside _build_group; raises if missing
         sort_key=m.get("sort_key"),
     )
 
