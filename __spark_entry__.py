@@ -302,6 +302,82 @@ FROM sc GROUP BY doc_id
 """
 
 
+def _engine_indri_and_scores(spark, sf_dir):
+    """Indri smoothed AND (clt/search/mod.rs:65-70, similarity mod.rs:30):
+    over docs matching merge OR window, every term contributes
+    ln((tf + mu*cp) / (dl + mu)) with tf = 0 when missing, cp = (ttf+1)/
+    (C+1), mu = 2000 — tf/dlq from the INDEX, double precision, DuckDB
+    recomputes from raw text."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from lucene_rust_spark.entry_helpers import doc_id_from_path, gate_searcher
+    from lucene_rust_spark.index.build import dl_decode_sql
+
+    s = gate_searcher(spark, sf_dir)
+    mu = 2000.0
+    st = s.term_stats(["merge", "window"])
+    terms = [t for t in ("merge", "window") if t in st]
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    cps = {
+        t: (st[t]["total_term_freq"] + 1.0) / (s.sum_ttf + 1.0) for t in terms
+    }
+    joined = None
+    for t in terms:
+        p = s.term_postings(t).select(
+            "doc_id",
+            F.col("tf").alias(f"tf_{t}"),
+            F.col("dlq").alias(f"dlq_{t}"),
+        )
+        joined = p if joined is None else joined.join(p, "doc_id", "full_outer")
+    dlq = F.coalesce(*[F.col(f"dlq_{t}") for t in terms])
+    dlv = F.expr(dl_decode_sql("dlq"))
+    out = joined.withColumn("dlq", dlq)
+    score = F.lit(0.0)
+    for t in terms:
+        tf = F.coalesce(F.col(f"tf_{t}"), F.lit(0)).cast("double")
+        score = score + F.log((tf + mu * cps[t]) / (dlv + mu))
+    out = out.select("doc_id", F.round(score, 4).alias("score"))
+    return doc_id_from_path(s.fetch(out)).select(
+        F.col("orig_doc_id").alias("doc_id"), "score"
+    )
+
+
+SQL_ENGINE_INDRI_AND_SCORES = f"""
+{_TOKS_CTE},
+dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tk),
+st AS (SELECT sum(dl)::BIGINT AS c FROM dl),
+fl AS (SELECT tk.doc_id, u.term, count(*)::BIGINT AS tf
+       FROM tk, unnest(toks) AS u(term) GROUP BY tk.doc_id, u.term),
+cps AS (SELECT term, (sum(tf) + 1.0) / (st.c + 1.0) AS cp
+        FROM fl CROSS JOIN st WHERE term IN ('merge', 'window')
+        GROUP BY term, st.c),
+m AS (SELECT DISTINCT doc_id FROM fl WHERE term IN ('merge', 'window')),
+enc0 AS (SELECT m.doc_id, dl.dl FROM m JOIN dl USING (doc_id)),
+enc AS (SELECT *,
+  (CASE WHEN dl < {_N_FREE} THEN dl
+   ELSE {_N_FREE} + (CASE WHEN length(bin(dl - {_N_FREE})) < 4 OR dl - {_N_FREE} = 0
+                     THEN dl - {_N_FREE}
+                     ELSE ((((dl - {_N_FREE}) >> (length(bin(dl - {_N_FREE})) - 4)) & 7)
+                          | ((length(bin(dl - {_N_FREE})) - 4 + 1) << 3)) END)
+   END) AS dlq FROM enc0),
+dec AS (SELECT doc_id,
+  (CASE WHEN dlq < {_N_FREE} THEN dlq
+   ELSE {_N_FREE} + (CASE WHEN dlq - {_N_FREE} < 8 THEN (dlq - {_N_FREE}) & 15
+                     ELSE (((dlq - {_N_FREE}) & 7) | 8) << (((dlq - {_N_FREE}) >> 3) - 1) END)
+   END) AS dlv FROM enc),
+terms2 AS (SELECT dec.doc_id, dec.dlv, cps.term, cps.cp,
+           COALESCE(fl.tf, 0) AS tf
+           FROM dec CROSS JOIN cps
+           LEFT JOIN fl ON fl.doc_id = dec.doc_id AND fl.term = cps.term)
+SELECT doc_id,
+       round(sum(ln((tf + 2000.0 * cp) / (dlv + 2000.0))), 4) AS score
+FROM terms2 GROUP BY doc_id
+"""
+
+
 def _engine_phrase_count(spark, sf_dir):
     from lucene_rust_spark.entry_helpers import count_df, gate_searcher
     from lucene_rust_spark.oracle.bm25 import phrase_query
@@ -555,6 +631,7 @@ _ENGINE_QUERIES = {
     "engine_bm25_scores": (_engine_bm25_scores, SQL_ENGINE_BM25_SCORES),
     "engine_synonym_scores": (_engine_synonym_scores, SQL_ENGINE_SYNONYM_SCORES),
     "engine_blended_scores": (_engine_blended_scores, SQL_ENGINE_BLENDED_SCORES),
+    "engine_indri_and_scores": (_engine_indri_and_scores, SQL_ENGINE_INDRI_AND_SCORES),
     "engine_phrase_count": (
         _engine_phrase_count,
         f"{_POS_CTE} SELECT count(DISTINCT a.doc_id)::BIGINT AS n_hits "

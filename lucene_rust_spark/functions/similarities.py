@@ -305,6 +305,43 @@ class MultiSimilarity(Similarity):
         return (acc / np.float32(len(self.subs))).astype(np.float32)
 
 
+class IndriDirichlet(Similarity):
+    """IndriDirichletSimilarity (clt/search/similarities/mod.rs:30
+    indri_dirichlet_similarity [stub]; Lucene 9 public formula, mu=2000):
+    score = log((tf + mu * P(t|C)) / (dl + mu)) with the Indri
+    collection probability P(t|C) = (ttf + 1) / (C + 1). Unlike
+    LMDirichlet there is NO clamp at 0 — Indri keeps negative log-probs,
+    which is what makes the smoothed-AND combination (indri_and query)
+    meaningful. All float32, pinned op order."""
+
+    name = "indri"
+    MU = np.float32(2000.0)
+
+    def __init__(self, doc_count: int, sum_ttf: int):
+        super().__init__(doc_count, sum_ttf)
+        self.dl_cache = K.byte4_to_int(np.arange(256)).astype(np.float32)
+
+    def idf(self, doc_freq: int) -> np.float32:
+        return np.float32(1.0)  # weight() carries P(t|C)
+
+    def weight(self, doc_freq: int, total_term_freq: int) -> np.float32:
+        return np.float32(
+            (np.float64(total_term_freq) + 1.0) / (np.float64(self.sum_ttf) + 1.0)
+        )
+
+    def score(self, tf, dlq, idf):
+        w = idf.astype(np.float32)  # P(t|C)
+        tf32 = tf.astype(np.float32)
+        dl = self.dl_cache[np.asarray(dlq, dtype=np.int64) & 0xFF]
+        return np.log((tf32 + self.MU * w) / (dl + self.MU)).astype(np.float32)
+
+    def zero_score(self, dlq, w: np.float32) -> np.ndarray:
+        """Smoothed zero-frequency score log(mu*P(t|C)/(dl+mu)) — what a
+        doc MISSING the term contributes under the Indri AND."""
+        dl = self.dl_cache[np.asarray(dlq, dtype=np.int64) & 0xFF]
+        return np.log((self.MU * np.float32(w)) / (dl + self.MU)).astype(np.float32)
+
+
 SIMILARITIES = {
     "bm25": BM25,
     "classic": ClassicTFIDF,
@@ -316,6 +353,7 @@ SIMILARITIES = {
     "dfi": DFIStandardized,
     "ax_f2exp": AxiomaticF2EXP,
     "multi": MultiSimilarity,
+    "indri": IndriDirichlet,
 }
 
 

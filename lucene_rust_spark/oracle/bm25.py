@@ -294,6 +294,21 @@ def oracle_search(
             freq[hit], idx.dlq[hit], np.full(len(hit), idf, dtype=np.float32)
         )
         return _rank(idx.doc_ids[hit], scores, k, search_after)
+    if qt == "indri_and":
+        # smoothed AND (clt/search/mod.rs:65-70): same combine function as
+        # the engine kernel; absent terms are dropped (pinned)
+        from lucene_rust_spark.search.searcher import combine_indri_arrays
+
+        terms = sorted({t for t in q["terms"] if t in idx.postings})
+        if not terms:
+            return []
+        arrs, cp_map = {}, {}
+        for t in terms:
+            ix, tf = idx.postings[t]
+            arrs[t] = (ix.astype(np.int64), tf.astype(np.int64), idx.dlq[ix].astype(np.int64))
+            cp_map[t] = float(np.float32(sim.weight(len(ix), int(tf.sum()))))
+        pos, scores = combine_indri_arrays(arrs, terms, cp_map, sim)
+        return _rank(idx.doc_ids[pos], scores, k, search_after)
     if qt == "blended":
         clauses = sorted((c["term"], np.float32(c.get("boost", 1.0))) for c in q["terms"])
         if len({t for t, _ in clauses}) != len(clauses):

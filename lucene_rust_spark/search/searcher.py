@@ -46,7 +46,76 @@ PRUNE_MIN_POSTINGS = 2_000_000  # WAND auto-on crossover (see search_df)
 # postings, so pruning pays much earlier: measured crossover ~600k postings
 # (BENCH/WAND_SORTED.md: speedup 1.13-2.07x at 800k-1.2M, prune ratio .996+)
 PRUNE_MIN_POSTINGS_SORTED = 600_000
+# fused one-task bool plan: below this posting volume, decode + the pinned
+# combine run inside ONE mapInPandas task (a single-stage Spark job — no
+# groupBy exchange); a 1M-posting decode is ~50 ms of numpy, far below the
+# ~100-150 ms cost of the extra exchange+stage it replaces
+FUSED_MAX_POSTINGS = 1_000_000
 DRIVER_EXEC_MAX_POSTINGS = 100_000  # small-query driver path (see search_df)
+
+
+def combine_bool_arrays(
+    term_arrays: dict, must_set, should_set, mn_terms, msm, idf_map, sim
+):
+    """The pinned boolean combine over decoded per-term arrays — one
+    implementation shared by the driver fast path AND the fused one-task
+    distributed kernel (so their results are byte-identical by
+    construction): float32 accumulation in ascending-term order,
+    MUST/minShouldMatch/MUST_NOT counting, tombstones NOT applied here.
+    term_arrays: term -> (docs, tfs, dlqs). Returns (docs, scores_f32)."""
+    all_docs = np.unique(np.concatenate([a[0] for a in term_arrays.values()]))
+    acc = np.zeros(len(all_docs), dtype=np.float32)
+    n_must = np.zeros(len(all_docs), dtype=np.int32)
+    n_should = np.zeros(len(all_docs), dtype=np.int32)
+    n_not = np.zeros(len(all_docs), dtype=np.int32)
+    touched = np.zeros(len(all_docs), dtype=bool)
+    ms, ss, ns = set(must_set), set(should_set), set(mn_terms)
+    for t in sorted(term_arrays):  # ascending term — the pinned fold order
+        docs, tfs, dlqs = term_arrays[t]
+        idx = np.searchsorted(all_docs, docs)
+        if t in ms or t in ss:
+            s = sim.score(tfs, dlqs, np.full(len(tfs), idf_map[t], np.float32))
+            acc[idx] = (acc[idx] + s).astype(np.float32)
+            touched[idx] = True
+        if t in ms:
+            n_must[idx] += 1
+        if t in ss:
+            n_should[idx] += 1
+        if t in ns:
+            n_not[idx] += 1
+    ok = touched
+    if must_set:
+        ok = ok & (n_must == len(must_set))
+    if should_set and (msm or not must_set):
+        ok = ok & (n_should >= max(msm, 0 if must_set else 1))
+    ok = ok & (n_not == 0)
+    return all_docs[ok], acc[ok]
+
+
+def combine_indri_arrays(term_arrays: dict, terms: list, cp_map: dict, sim):
+    """The pinned Indri smoothed-AND combine (clt/search/mod.rs:65-70
+    indri_and_query/scorer [stub]; Lucene 9 semantics): over docs matching
+    >= 1 clause, EVERY query term contributes — its true score when the
+    doc matches it, its zero-frequency smoothed score log(mu*P(t|C)/(dl+mu))
+    when it doesn't. float32 fold in ascending-term order. Returns
+    (docs, scores_f32), tombstones not applied."""
+    present = {t: a for t, a in term_arrays.items() if len(a[0])}
+    if not present:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float32)
+    all_docs = np.unique(np.concatenate([a[0] for a in present.values()]))
+    dlq_all = np.zeros(len(all_docs), dtype=np.int64)
+    for t, (docs, _tfs, dlqs) in present.items():
+        dlq_all[np.searchsorted(all_docs, docs)] = dlqs
+    acc = np.zeros(len(all_docs), dtype=np.float32)
+    for t in sorted(terms):  # ascending term — the pinned fold order
+        cp = np.float32(cp_map[t])
+        contrib = sim.zero_score(dlq_all, cp)
+        if t in present:
+            docs, tfs, dlqs = present[t]
+            idx = np.searchsorted(all_docs, docs)
+            contrib[idx] = sim.score(tfs, dlqs, np.full(len(tfs), cp, np.float32))
+        acc = (acc + contrib).astype(np.float32)
+    return all_docs, acc
 
 
 def _f32_fold(parts_col) -> "F.Column":
@@ -291,10 +360,13 @@ class IndexSearcher:
                         "term": np.concatenate(term_rep),
                         "score": scores,
                         "tf": tfs.astype(np.int32),
+                        "dlq": dlqs.astype(np.int32),
                     }
                 )
 
-        return blocks.mapInPandas(decode, schema="doc_id long, term string, score float, tf int")
+        return blocks.mapInPandas(
+            decode, schema="doc_id long, term string, score float, tf int, dlq int"
+        )
 
     def _positions(self, terms: list[str]) -> DataFrame:
         """(term, doc_id, pos, dlq) — one row per token occurrence of the
@@ -875,6 +947,8 @@ class IndexSearcher:
             return self._matching_docs(sorted(set(query["terms"])))
         if qt == "blended":
             return self._matching_docs(sorted({c["term"] for c in query["terms"]}))
+        if qt == "indri_and":
+            return self._matching_docs(sorted(set(query["terms"])))
         if qt in ("phrase", "multi_phrase"):
             freq = (
                 self._phrase_freq_lucene(query)
@@ -1046,6 +1120,55 @@ class IndexSearcher:
         hits = self.hits_df(query, k, search_after, prune)
         return self._finish(hits, k, search_after)
 
+    def _fused_bool_hits(
+        self, scoring, must_set, should_set, mn_terms, msm, stats
+    ) -> DataFrame:
+        """One-task decode+combine plan for small distributed booleans:
+        a single mapInPandas over the (coalesced) block scan yields final
+        per-doc scores via combine_bool_arrays — identical semantics to
+        the driver path, as a Spark job (tombstones/search_after applied
+        by _finish as usual)."""
+        all_terms = sorted(set(scoring) | set(mn_terms))
+        idf_map = {t: np.float32(stats[t]["idf"]) for t in all_terms if t in stats}
+        sim = self.sim
+        blocks = (
+            self.postings.filter(F.col("term").isin(all_terms))
+            .select("term", "n", "first_doc", "docs_bin", "tfs_bin", "dlq_bin")
+            .coalesce(1)
+        )
+        ms_l, ss_l, mn_l = list(must_set), list(should_set), list(mn_terms)
+
+        def kern(batches, _idf=idf_map, _sim=sim, _ms=ms_l, _ss=ss_l, _mn=mn_l, _m=msm):
+            from collections import defaultdict
+
+            chunks = defaultdict(list)
+            for pdf in batches:
+                for term, n, fd, db, tb, qb in zip(
+                    pdf["term"], pdf["n"], pdf["first_doc"],
+                    pdf["docs_bin"], pdf["tfs_bin"], pdf["dlq_bin"],
+                ):
+                    n = int(n)
+                    docs = np.int64(fd) + np.cumsum(
+                        K.for_unpack(bytes(db), n)
+                    ).astype(np.int64)
+                    chunks[term].append(
+                        (
+                            docs,
+                            K.for_unpack(bytes(tb), n).astype(np.int64),
+                            np.frombuffer(bytes(qb), dtype=np.uint8).astype(np.int64),
+                        )
+                    )
+            if not chunks:
+                return
+            arrs = {
+                t: tuple(np.concatenate(x) for x in zip(*lst))
+                for t, lst in chunks.items()
+            }
+            docs, scores = combine_bool_arrays(arrs, _ms, _ss, _mn, _m, _idf, _sim)
+            yield pd.DataFrame({"doc_id": docs, "score": scores})
+
+        return blocks.mapInPandas(kern, schema="doc_id long, score float")
+
     def _driver_match(self, query: dict, prune) -> tuple | None:
         """Small-query driver execution core: when a term/bool query's
         total posting volume is at most DRIVER_EXEC_MAX_POSTINGS, its
@@ -1089,35 +1212,11 @@ class IndexSearcher:
         term_arrays = self._driver_collect_postings(all_terms)
         if term_arrays is None:
             return empty
-        all_docs = np.unique(np.concatenate([a[0] for a in term_arrays.values()]))
-        acc = np.zeros(len(all_docs), dtype=np.float32)
-        n_must = np.zeros(len(all_docs), dtype=np.int32)
-        n_should = np.zeros(len(all_docs), dtype=np.int32)
-        n_not = np.zeros(len(all_docs), dtype=np.int32)
-        touched = np.zeros(len(all_docs), dtype=bool)
-        ms, ss, ns = set(must_set), set(should_set), set(mn_terms)
-        for t in sorted(term_arrays):  # ascending term — the pinned fold order
-            docs, tfs, dlqs = term_arrays[t]
-            idx = np.searchsorted(all_docs, docs)
-            if t in ms or t in ss:
-                s = self.sim.score(
-                    tfs, dlqs, np.full(len(tfs), np.float32(stats[t]["idf"]), np.float32)
-                )
-                acc[idx] = (acc[idx] + s).astype(np.float32)
-                touched[idx] = True
-            if t in ms:
-                n_must[idx] += 1
-            if t in ss:
-                n_should[idx] += 1
-            if t in ns:
-                n_not[idx] += 1
-        ok = touched
-        if must_set:
-            ok = ok & (n_must == len(must_set))
-        if should_set and (msm or not must_set):
-            ok = ok & (n_should >= max(msm, 0 if must_set else 1))
-        ok = ok & (n_not == 0)
-        docs_f, scores_f = self._drop_deleted_np(all_docs[ok], acc[ok])
+        idf_map = {t: np.float32(stats[t]["idf"]) for t in stats}
+        all_docs, acc = combine_bool_arrays(
+            term_arrays, must_set, should_set, mn_terms, msm, idf_map, self.sim
+        )
+        docs_f, scores_f = self._drop_deleted_np(all_docs, acc)
         return docs_f, scores_f
 
     def _driver_collect_postings(
@@ -1455,6 +1554,8 @@ class IndexSearcher:
             return self._dismax_hits(query)
         if qt == "blended":
             return self._blended_hits(query)
+        if qt == "indri_and":
+            return self._indri_and_hits(query)
         if qt == "synonym":
             return self._synonym_hits(query)
         if qt in ("phrase", "multi_phrase"):
@@ -1485,6 +1586,15 @@ class IndexSearcher:
             mn_stats = self.term_stats(sorted(set(must_not)))
             mn_terms = sorted(t for t in set(must_not) if t in mn_stats)
             stats = {**stats, **mn_stats}
+
+        est = sum(stats[t]["doc_freq"] for t in set(scoring) | set(mn_terms))
+        if not prune and est <= FUSED_MAX_POSTINGS:
+            # fused one-task plan (r4): at this volume the decode coalesces
+            # to one task anyway, so run decode AND the pinned combine in a
+            # single mapInPandas — no groupBy exchange, no second stage
+            # (the per-stage fixed cost dominated small distributed bools).
+            # The combine is the SAME function the driver path runs.
+            return self._fused_bool_hits(scoring, must_set, should_set, mn_terms, msm, stats)
 
         if (
             prune
@@ -1899,6 +2009,89 @@ class IndexSearcher:
                 yield pd.DataFrame({"doc_id": pdf["doc_id"], "score": sc})
 
         return freqs.mapInPandas(score_kernel, schema="doc_id long, score float")
+
+    def _indri_and_hits(self, query: dict) -> DataFrame:
+        """IndriAndQuery (clt/search/mod.rs:65-70 [stub]): the smoothed AND
+        — docs matching >= 1 clause, every clause contributing (true score
+        or the zero-frequency smoothed score). Small volumes run the fused
+        one-task kernel (the same combine_indri_arrays as the oracle);
+        larger ones a distributed plan whose per-term zero scores come
+        from 256-entry lookup arrays built with the SAME float32 kernel."""
+        from lucene_rust_spark.functions.similarities import IndriDirichlet
+
+        if not isinstance(self.sim, IndriDirichlet):
+            raise ValueError(
+                "indri_and requires IndexSearcher(similarity='indri')"
+            )
+        terms = sorted(set(query["terms"]))
+        st = self.term_stats(terms)
+        terms = [t for t in terms if t in st]
+        if not terms:
+            return self._empty_result()
+        cp_map = {t: float(np.float32(st[t]["idf"])) for t in terms}
+        # term_stats stores weight() in the 'idf' slot for LM families
+        sim = self.sim
+        est = sum(st[t]["doc_freq"] for t in terms)
+        if est <= FUSED_MAX_POSTINGS:
+            blocks = (
+                self.postings.filter(F.col("term").isin(terms))
+                .select("term", "n", "first_doc", "docs_bin", "tfs_bin", "dlq_bin")
+                .coalesce(1)
+            )
+
+            def kern(batches, _terms=terms, _cp=cp_map, _sim=sim):
+                from collections import defaultdict
+
+                chunks = defaultdict(list)
+                for pdf in batches:
+                    for term, n, fd, db, tb, qb in zip(
+                        pdf["term"], pdf["n"], pdf["first_doc"],
+                        pdf["docs_bin"], pdf["tfs_bin"], pdf["dlq_bin"],
+                    ):
+                        n = int(n)
+                        docs = np.int64(fd) + np.cumsum(
+                            K.for_unpack(bytes(db), n)
+                        ).astype(np.int64)
+                        chunks[term].append(
+                            (
+                                docs,
+                                K.for_unpack(bytes(tb), n).astype(np.int64),
+                                np.frombuffer(bytes(qb), dtype=np.uint8).astype(np.int64),
+                            )
+                        )
+                if not chunks:
+                    return
+                arrs = {
+                    t: tuple(np.concatenate(x) for x in zip(*lst))
+                    for t, lst in chunks.items()
+                }
+                docs, scores = combine_indri_arrays(arrs, _terms, _cp, _sim)
+                yield pd.DataFrame({"doc_id": docs, "score": scores})
+
+            return blocks.mapInPandas(kern, schema="doc_id long, score float")
+
+        # distributed: matched rows carry (term, score, dlq); missing terms
+        # contribute via per-term zero-score lookup arrays (same f32 kernel)
+        scored = self._scored_postings(terms, st)
+        grouped = scored.groupBy("doc_id").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "score"))
+            ).alias("pmap"),
+            F.max("dlq").alias("dlq"),
+        )
+        acc = F.lit(0.0)
+        for t in sorted(terms):
+            zero_arr = F.array(
+                *[
+                    F.lit(float(x))
+                    for x in sim.zero_score(np.arange(256), np.float32(cp_map[t]))
+                ]
+            )
+            contrib = F.coalesce(
+                F.col("pmap")[t], F.element_at(zero_arr, F.col("dlq") + 1)
+            )
+            acc = (acc + contrib).cast("float")
+        return grouped.select("doc_id", acc.alias("score"))
 
     def _blended_stats(self, query: dict):
         """Shared blend for BlendedTermQuery (clt/search/mod.rs:3 [stub];

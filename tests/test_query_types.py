@@ -120,6 +120,33 @@ def test_field_exists(spark, tmp_path):
     assert s2.count(q) == 19
 
 
+def test_fused_vs_shuffle_bool_plans(searcher, monkeypatch):
+    """The r4 fused one-task bool plan and the multi-task shuffle plan
+    (forced via FUSED_MAX_POSTINGS=0) must agree with the driver path
+    bit-for-bit — three implementations, one pinned combine."""
+    import lucene_rust_spark.search.searcher as S
+
+    queries = [
+        term_query("token"),
+        bool_query(should=["token", "value", "index"]),
+        bool_query(must=["token", "index"], must_not=["merge_mut"]),
+        bool_query(should=["token", "value", "index"], min_should_match=2),
+    ]
+    saved = searcher.DRIVER_EXEC_MAX_POSTINGS
+    try:
+        for q in queries:
+            searcher.DRIVER_EXEC_MAX_POSTINGS = 10**9
+            drv = searcher.search(q, 10)
+            searcher.DRIVER_EXEC_MAX_POSTINGS = 0
+            fused = searcher.search(q, 10)  # est <= FUSED_MAX -> one-task plan
+            monkeypatch.setattr(S, "FUSED_MAX_POSTINGS", 0)
+            shuf = searcher.search(q, 10)  # decode + groupBy exchange plan
+            monkeypatch.setattr(S, "FUSED_MAX_POSTINGS", 1_000_000)
+            assert drv == fused == shuf, q
+    finally:
+        searcher.DRIVER_EXEC_MAX_POSTINGS = saved
+
+
 def test_term_vector_and_mlt(searcher, oracle_idx):
     """term_vector(doc_id) round-trips the oracle's per-doc counts
     (VERDICT r3 item 6); more_like_this ranks the source doc first."""
