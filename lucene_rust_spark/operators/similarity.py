@@ -22,6 +22,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _dot(a, b):
@@ -188,6 +189,24 @@ def ivf_cell_col(C: np.ndarray):
     return best_cell.cast("int")
 
 
+def with_ivf_cells(emb: DataFrame, C: np.ndarray) -> DataFrame:
+    """Attach the `cell` column — JVM nested-when argmax for small cell
+    counts (whole-stage codegen, no Python), an Arrow-batched matmul
+    kernel beyond 64 cells (the r3 caveat: expression depth is O(cells),
+    which stops compiling cheaply past ~64; a (batch x dim) @ (dim x
+    cells) numpy product is flat in the cell count)."""
+    if len(C) <= 64:
+        return emb.withColumn("cell", ivf_cell_col(C))
+    Cf = np.ascontiguousarray(np.asarray(C, dtype=np.float64).T)
+
+    @pandas_udf("int")
+    def cell_of(embs: pd.Series) -> pd.Series:
+        X = np.array(embs.tolist(), dtype=np.float64)
+        return pd.Series(np.argmax(X @ Cf, axis=1).astype(np.int32))
+
+    return emb.withColumn("cell", cell_of("embedding"))
+
+
 def ivf_topk(
     emb: DataFrame, qvec: np.ndarray, k: int = 10, n_cells: int = 16, nprobe: int = 4,
     centroids: np.ndarray | None = None,
@@ -198,6 +217,6 @@ def ivf_topk(
     q = np.asarray(qvec, dtype=np.float64)
     q = q / max(np.linalg.norm(q), 1e-12)
     probe = np.argsort(-(C @ q))[:nprobe].tolist()
-    cells = emb.withColumn("cell", ivf_cell_col(C))
+    cells = with_ivf_cells(emb, C)
     cand = cells.filter(F.col("cell").isin([int(c) for c in probe]))
     return cosine_topk(cand.select("id", "embedding"), qvec, k)

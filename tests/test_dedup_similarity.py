@@ -152,3 +152,42 @@ def test_embedding_near_dupes_size_guard(spark):
     )
     with pytest.raises(ValueError, match="all-pairs"):
         embedding_near_dupes(emb, max_rows=10)
+
+
+def test_ivf_many_cells_kernel(spark):
+    """>64 cells routes cell assignment through the Arrow matmul kernel
+    (flat in cell count) instead of O(cells) nested-when expressions; the
+    assignment must equal the direct numpy argmax, and ivf_topk stays a
+    working ANN at that cell count."""
+    import numpy as np
+    import pandas as pd
+
+    from lucene_rust_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        with_ivf_cells,
+    )
+
+    rng = np.random.default_rng(7)
+    n, dim, n_cells = 600, 16, 80
+    X = rng.standard_normal((n, dim))
+    emb = spark.createDataFrame(
+        pd.DataFrame({"id": np.arange(n), "embedding": [r.astype(np.float32).tolist() for r in X]})
+    )
+    C = rng.standard_normal((n_cells, dim))
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    got = {
+        r["id"]: r["cell"]
+        for r in with_ivf_cells(emb, C).select("id", "cell").collect()
+    }
+    Xf = np.array([np.asarray(X[i], dtype=np.float32).astype(np.float64) for i in range(n)])
+    want = np.argmax(Xf @ C.T, axis=1)
+    assert all(got[i] == int(want[i]) for i in range(n))
+    # end-to-end: probing more cells can only improve recall vs fewer
+    q = X[3]
+    exact = [r["id"] for r in cosine_topk(emb, q, 10).collect()]
+    approx = [
+        r["id"]
+        for r in ivf_topk(emb, q, 10, n_cells=n_cells, nprobe=20, centroids=C).collect()
+    ]
+    assert len(set(exact) & set(approx)) >= 5
