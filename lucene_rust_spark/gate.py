@@ -783,6 +783,70 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def events_stream_windowed(spark, sf_dir):
+    """REAL Structured Streaming run (readStream → withWatermark(2h) →
+    1h tumbling window → append parquet sink, availableNow over two
+    time-ordered batch files). Append mode emits exactly the windows the
+    final watermark (max ts − 2h) has closed — the DuckDB oracle filters
+    the batch aggregation to those windows. Time-ordered batches mean no
+    late drops, so closed-window equality is the full contract here (the
+    late-drop behavior is pinned by tests/test_streaming_windows.py)."""
+    import glob
+    import shutil
+    import tempfile
+
+    from lucene_rust_spark.streaming.windows import stream_windowed_counts
+
+    ev = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("ts")
+    )
+    n = ev.count()
+    half = n // 2
+    work = tempfile.mkdtemp(prefix="lrs_stream_gate_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    for name, df in (("b1", ev.limit(half)), ("b2", ev.subtract(ev.limit(half)))):
+        tmp = os.path.join(work, f"tmp_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(src, f"{name}.parquet"))
+    out = os.path.join(work, "out")
+    q = stream_windowed_counts(
+        spark, src, out, os.path.join(work, "ck"), watermark="2 hours", window="1 hour"
+    )
+    q.awaitTermination()
+    res = (
+        spark.read.parquet(out)
+        .select(
+            F.unix_timestamp("w_start").alias("w_start"),
+            "event_type",
+            "n",
+            "v",
+        )
+        .orderBy("w_start", "event_type")
+    )
+    # materialize before the temp dir is cleaned
+    out_rows = res.collect()
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(out_rows, res.schema)
+
+
+SQL_EVENTS_STREAM_WINDOWED = """
+WITH wm AS (SELECT max(ts) - INTERVAL '2 hours' AS w FROM events),
+agg AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS b, event_type,
+         count(*)::BIGINT AS n, round(sum(value), 4) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT epoch(b)::BIGINT AS w_start, event_type, n, v
+FROM agg CROSS JOIN wm
+WHERE b + INTERVAL '1 hour' <= wm.w
+ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -815,4 +879,5 @@ GATE: dict[str, tuple] = {
     "topk_by_field": (topk_by_field, SQL_TOPK_BY_FIELD),
     "agg_partial_final": (agg_partial_final, SQL_AGG_PARTIAL_FINAL),
     "events_windowed": (events_windowed, SQL_EVENTS_WINDOWED),
+    "events_stream_windowed": (events_stream_windowed, SQL_EVENTS_STREAM_WINDOWED),
 }
