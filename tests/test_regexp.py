@@ -112,3 +112,39 @@ def test_engine_integration_uses_lucene_grammar():
         ["a\nc", "abc"],
     )
     assert got == ["abc"]
+
+
+def test_property_parser_robustness():
+    """Property: any pattern either compiles or raises LuceneRegexpError —
+    never a raw re.error or crash — and compiled matchers accept exactly
+    what a self-round-trip predicts for operator-free literals."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = "ab01_.*+?|()[]{}^$\\~&#<>\"@-"
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet=alphabet, max_size=12))
+    def run(pat):
+        try:
+            m = compile_lucene_regexp(pat)
+        except LuceneRegexpError:
+            return
+        m("abc")  # matching never crashes either
+
+    run()
+
+
+def test_property_escaped_literals_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(min_size=0, max_size=10))
+    def run(s):
+        pat = "".join("\\" + c for c in s)
+        matcher = compile_lucene_regexp(pat)
+        assert matcher(s)
+        assert not matcher(s + "x")
+
+    run()
