@@ -231,3 +231,58 @@ def test_tiered_merge_end_to_end(spark, tmp_path):
     q = bool_query(should=["merge", "token", "value"])
     assert s.search(q, 10) == s_pre.search(q, 10)
     src.unpersist()
+
+
+def test_tiered_merge_reclaims_tombstones_in_passthrough_giant(spark, tmp_path):
+    """r4 reclaim x tiered policy: a singleton (giant) group would
+    normally pass through without repack — but when it holds tombstoned
+    docs it MUST be routed through the repack kernel so the reclaim
+    filter runs; tombstone-free dust still merges, counts and searches
+    exclude the reclaimed docs, and the manifest's stores compact."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lucene_rust_spark.corpus import gen_corpus_spark
+    from lucene_rust_spark.index.build import build_index
+    from lucene_rust_spark.index.deletes import delete_by_ids, read_tombstones
+    from lucene_rust_spark.index.manifest import read_manifest
+    from lucene_rust_spark.index.merge import merge_segments
+    from lucene_rust_spark.search.searcher import IndexSearcher
+    from lucene_rust_spark.streaming.incremental import append_batch
+
+    out = str(tmp_path / "idx")
+    src = gen_corpus_spark(spark, 260, 1).persist()
+    big = src.limit(200)
+    build_index(spark, big, out, num_partitions=1)
+    rest = src.subtract(big)
+    for e in range(3):
+        append_batch(
+            spark, rest.filter(F.crc32("path") % 3 == e), out, epoch=e, num_partitions=2
+        )
+    s = IndexSearcher(spark, out)
+    q = {"type": "term", "term": "x"}  # df = every doc
+    n0 = s.count(q)
+    assert n0 == 260
+    # tombstone two docs INSIDE the giant segment (seg 0 => doc_id < 2^40)
+    giant_hits = [d for d, _ in s.search(q, 260) if d >> 40 == 0][:2]
+    assert len(giant_hits) == 2
+    delete_by_ids(spark, out, giant_hits)
+
+    m1 = merge_segments(spark, out, fan_in=4, policy="tiered")
+    assert m1["del_count"] == 0 and m1["doc_count"] == 258
+    assert read_tombstones(spark, out) is None  # folded for new readers
+    s2 = IndexSearcher(spark, out)
+    assert s2.count(q) == 258
+    live = {d for d, _ in s2.search(q, 300)}
+    assert not (set(giant_hits) & live)
+    # the giant's postings really were rewritten (reclaimed docs gone)
+    pf = spark.read.parquet(os.path.join(out, m1["postings_dir"]))
+    mseg_of_giant = 0
+    n_giant_docs = (
+        pf.filter((F.col("term") == "x") & (F.col("seg") == mseg_of_giant))
+        .agg(F.sum("n"))
+        .first()[0]
+    )
+    assert n_giant_docs == 198
+    src.unpersist()
