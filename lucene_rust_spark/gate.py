@@ -721,6 +721,29 @@ FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
 # ---------------------------------------------------------------------------
 
 
+def ann_hnsw_topk10(spark, sf_dir):
+    """Per-shard HNSW graph ANN (clt/util/hnsw/ analog): build (or reuse)
+    the shard graphs over the embeddings table, beam-search the vec_id=0
+    query, merge per-shard top-k. Approximate by nature — registered as a
+    rows-only gate (no SQL oracle); recall vs brute force is pinned by
+    tests/test_dedup_similarity.py::test_hnsw_per_shard_graph_ann."""
+    import hashlib
+
+    from lucene_rust_spark.operators.hnsw import build_hnsw_index, hnsw_topk
+
+    e = _emb(spark, sf_dir).select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    idx = f"/tmp/lrs_hnsw_gate/{key}"
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        build_hnsw_index(e.filter(F.col("id") != 0), idx, n_shards=4)
+    qv = e.filter(F.col("id") == 0).first()["embedding"]
+    return hnsw_topk(spark, idx, qv, k=10, ef=128).select(
+        F.col("id").alias("vec_id"), F.round("cos", 4).alias("cos")
+    )
+
+
 def topk_by_field(spark, sf_dir):
     """TopFieldCollector (clt/search/mod.rs:157): top-100 orders by
     (o_totalprice desc, o_orderkey asc) — TakeOrderedAndProject."""
@@ -876,6 +899,9 @@ GATE: dict[str, tuple] = {
     "text_lang_id": (text_lang_id, SQL_TEXT_LANG_ID),
     "text_token_counts": (text_token_counts, SQL_TEXT_TOKEN_COUNTS),
     "ann_cosine_scores": (ann_cosine_scores, SQL_ANN_COSINE_SCORES),
+    # approximate graph search has no SQL twin: rows-only driver check;
+    # recall is pinned by the pytest suite
+    "ann_hnsw_topk10": (ann_hnsw_topk10, None),
     "topk_by_field": (topk_by_field, SQL_TOPK_BY_FIELD),
     "agg_partial_final": (agg_partial_final, SQL_AGG_PARTIAL_FINAL),
     "events_windowed": (events_windowed, SQL_EVENTS_WINDOWED),

@@ -191,3 +191,50 @@ def test_ivf_many_cells_kernel(spark):
         for r in ivf_topk(emb, q, 10, n_cells=n_cells, nprobe=20, centroids=C).collect()
     ]
     assert len(set(exact) & set(approx)) >= 5
+
+
+def test_hnsw_per_shard_graph_ann(spark, tmp_path):
+    """HNSW analog (clt/util/hnsw/, knn_vector_query): per-shard graphs
+    built in applyInPandas, beam-searched in parallel, per-shard top-k
+    merged. Recall@10 >= 0.9 vs brute-force cosine on a 2k-vector corpus,
+    deterministic across rebuilds."""
+    import numpy as np
+    import pandas as pd
+
+    from lucene_rust_spark.operators.hnsw import HnswGraph, build_hnsw_index, hnsw_topk
+    from lucene_rust_spark.operators.similarity import cosine_topk
+
+    rng = np.random.default_rng(11)
+    n, dim = 2000, 24
+    X = rng.standard_normal((n, dim)).astype(np.float32)
+    emb = spark.createDataFrame(
+        pd.DataFrame({"id": np.arange(n), "embedding": [r.tolist() for r in X]})
+    )
+    out = str(tmp_path / "hnsw")
+    build_hnsw_index(emb, out, n_shards=4, m=12, ef_construction=80)
+
+    recalls = []
+    for qi in (0, 17, 523):
+        q = X[qi]
+        exact = [r["id"] for r in cosine_topk(emb, q, 10).collect()]
+        approx = [r["id"] for r in hnsw_topk(spark, out, q, 10, ef=64).collect()]
+        recalls.append(len(set(exact) & set(approx)) / 10)
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+    # rebuild determinism: same blobs modulo row order
+    out2 = str(tmp_path / "hnsw2")
+    build_hnsw_index(emb, out2, n_shards=4, m=12, ef_construction=80)
+    b1 = {r["shard"]: bytes(r["blob"]) for r in spark.read.parquet(out).collect()}
+    b2 = {r["shard"]: bytes(r["blob"]) for r in spark.read.parquet(out2).collect()}
+    assert b1 == b2
+
+    # single-graph sanity: exhaustive beam (ef = n) is exact within a shard
+    g = HnswGraph.from_bytes(b1[0])
+    ids0 = set(g.ids.tolist())
+    q = X[5]
+    got = [i for i, _ in g.search(q, 5, ef=len(ids0))]
+    qn = q / np.linalg.norm(q)
+    Xs = np.array([X[i] for i in sorted(ids0)])
+    Xs = Xs / np.linalg.norm(Xs, axis=1, keepdims=True)
+    want = [sorted(ids0)[j] for j in np.argsort(-(Xs @ qn))[:5]]
+    assert got == want
