@@ -41,7 +41,10 @@ from lucene_rust_spark.search.rewrite import (
 _EMPTY_I64 = np.zeros(0, dtype=np.int64)
 
 MAX_CLAUSE_COUNT = 1024  # clt/search/index_searcher.rs:1
-PRUNE_MIN_POSTINGS = 2_000_000  # WAND auto-on crossover (see search_df)
+PRUNE_MIN_POSTINGS = 1_000_000  # WAND auto-on crossover (see search_df)
+# r4 measured (BENCH/WAND.md): with the metadata-only theta the pruned
+# plan beats exact from ~800k-1.2M postings even on hash-random doc order
+# (or2 2.0x, or_rare 1.95x); below, the planning pass doesn't amortize
 # index-sorted corpora (build sort_key='content_len') cluster competitive
 # postings, so pruning pays much earlier: measured crossover ~600k postings
 # (BENCH/WAND_SORTED.md: speedup 1.13-2.07x at 800k-1.2M, prune ratio .996+)
