@@ -62,11 +62,56 @@ def gen_media_spark(spark: SparkSession, n_rows: int, n_partitions: int = 8) -> 
     return spark.range(0, n_rows, 1, n_partitions).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def _decode_bmp(data: bytes) -> np.ndarray:
+    """Pure-numpy BMP decoder (r4): uncompressed BITMAPINFOHEADER files,
+    24-bit BGR and 8-bit paletted — a REAL standard-format decode with no
+    image library. Returns (h, w) uint8 grayscale; luma pinned to the
+    integer BT.601 form (299R + 587G + 114B) // 1000 so results are
+    bit-reproducible everywhere. Rows are 4-byte aligned; positive height
+    means bottom-up storage (flipped on return)."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    off = int.from_bytes(data[10:14], "little")
+    hdr_sz = int.from_bytes(data[14:18], "little")
+    if hdr_sz < 40:
+        raise NotImplementedError(f"BMP core-header size {hdr_sz} unsupported")
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    comp = int.from_bytes(data[30:34], "little")
+    if comp != 0:
+        raise NotImplementedError(f"compressed BMP (method {comp}) unsupported")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * bpp // 8 + 3) & ~3
+    px = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=off)
+    px = px.reshape(h, stride)
+    if bpp == 24:
+        row = px[:, : w * 3].reshape(h, w, 3).astype(np.int32)
+        b, g, r = row[..., 0], row[..., 1], row[..., 2]
+        gray = ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+    elif bpp == 8:
+        n_colors = int.from_bytes(data[46:50], "little") or 256
+        pal = np.frombuffer(
+            data, dtype=np.uint8, count=4 * n_colors, offset=14 + hdr_sz
+        ).reshape(n_colors, 4).astype(np.int32)  # BGRA entries
+        pal_gray = ((299 * pal[:, 2] + 587 * pal[:, 1] + 114 * pal[:, 0]) // 1000).astype(
+            np.uint8
+        )
+        gray = pal_gray[px[:, :w]]
+    else:
+        raise NotImplementedError(f"BMP bpp {bpp} unsupported (24/8 only)")
+    return gray[::-1] if bottom_up else gray
+
+
 def _decode_image(data: bytes, width: int, height: int, codec: str) -> np.ndarray:
-    """Decode one image payload to a (h, w) uint8 array. Real formats need
-    PIL (not in this container) — raw8 is decoded exactly."""
+    """Decode one image payload to a (h, w) uint8 array. raw8 and BMP
+    (24-bit / 8-bit uncompressed) decode with numpy alone; other real
+    formats need PIL (not in this container)."""
     if codec == "raw8":
         return np.frombuffer(data, dtype=np.uint8).reshape(height, width)
+    if codec == "bmp":
+        return _decode_bmp(data)
     if HAVE_PIL:
         import io
 
