@@ -187,17 +187,58 @@ def video_sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
     )
 
 
+def _decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Pure-numpy RIFF/WAVE decoder (r4): PCM (format 1) 16-bit and 8-bit
+    mono/stereo, chunk-walked (fmt may not be adjacent to data). Returns
+    (mono float64 samples in int16 scale, sample_rate). Multi-channel
+    payloads are averaged to mono — the standard featurizer front-end."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, raw = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        sz = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            raw = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or raw is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt = int.from_bytes(fmt[0:2], "little")
+    n_ch = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_fmt != 1:
+        raise NotImplementedError(f"WAV format {audio_fmt} unsupported (PCM only)")
+    if bits == 16:
+        pcm = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+    elif bits == 8:  # unsigned, rescaled into the int16 range
+        pcm = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) * 256.0
+    else:
+        raise NotImplementedError(f"WAV bit depth {bits} unsupported (8/16 only)")
+    if n_ch > 1:
+        pcm = pcm[: len(pcm) - len(pcm) % n_ch].reshape(-1, n_ch).mean(axis=1)
+    return pcm, rate
+
+
 def audio_stats(media: DataFrame) -> DataFrame:
-    """(media_id, n_samples, rms, peak) from pcm16 payloads — the
+    """(media_id, n_samples, rms, peak) from pcm16 or WAV payloads — the
     feature-extraction shape for audio."""
 
     def kernel(batches):
         for pdf in batches:
             ids, ns, rms, peak = [], [], [], []
             for rid, data, codec in zip(pdf["media_id"], pdf["data"], pdf["codec"]):
-                if codec != "pcm16":
-                    raise NotImplementedError(f"audio codec {codec!r} needs soundfile")
-                pcm = np.frombuffer(bytes(data), dtype=np.int16).astype(np.float64)
+                if codec == "pcm16":
+                    pcm = np.frombuffer(bytes(data), dtype=np.int16).astype(np.float64)
+                elif codec == "wav":
+                    pcm, _rate = _decode_wav(bytes(data))
+                else:
+                    raise NotImplementedError(
+                        f"audio codec {codec!r} needs soundfile (pcm16/wav are native)"
+                    )
                 ids.append(int(rid))
                 ns.append(len(pcm))
                 rms.append(float(np.sqrt(np.mean(pcm**2))) if len(pcm) else 0.0)

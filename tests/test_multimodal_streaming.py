@@ -164,3 +164,60 @@ def test_bmp_decode_real_format(spark):
     assert len(feats) == 2 and feats[1] == feats[2]  # same pixels, same features
     ref = np.bincount(want.ravel() >> 4, minlength=16) / want.size
     assert np.allclose(feats[1], ref, atol=1e-6)
+
+
+def _encode_wav(pcm16: "np.ndarray", rate=16000, n_ch=1, bits=16, junk_chunk=True) -> bytes:
+    import numpy as np
+
+    if bits == 16:
+        raw = pcm16.astype("<i2").tobytes()
+    else:
+        raw = ((pcm16.astype(np.int32) // 256) + 128).astype(np.uint8).tobytes()
+    fmt = (
+        (1).to_bytes(2, "little") + n_ch.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * n_ch * bits // 8).to_bytes(4, "little")
+        + (n_ch * bits // 8).to_bytes(2, "little") + bits.to_bytes(2, "little")
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    if junk_chunk:  # decoders must WALK chunks, not assume adjacency
+        chunks += b"LIST" + (5).to_bytes(4, "little") + b"INFOX" + b"\x00"
+    chunks += b"data" + len(raw).to_bytes(4, "little") + raw
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def test_wav_decode_real_format(spark):
+    """RIFF/WAVE decode with numpy alone: chunk walking (junk LIST chunk
+    between fmt and data), 16-bit mono, stereo downmix, 8-bit rescale;
+    audio_stats consumes codec='wav' rows through the distributed kernel."""
+    import numpy as np
+    import pandas as pd
+
+    from lucene_rust_spark.operators.multimodal import _decode_wav, audio_stats
+
+    rng = np.random.default_rng(5)
+    mono = rng.integers(-(2**15), 2**15, 400, dtype=np.int16)
+    pcm, rate = _decode_wav(_encode_wav(mono))
+    assert rate == 16000 and (pcm == mono.astype(np.float64)).all()
+    # stereo downmix = channel mean
+    stereo = np.stack([mono, np.roll(mono, 1)], axis=1).ravel()
+    pcm2, _ = _decode_wav(_encode_wav(stereo, n_ch=2))
+    want = np.stack([mono, np.roll(mono, 1)]).astype(np.float64).mean(axis=0)
+    assert np.allclose(pcm2, want)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _decode_wav(b"NOTAWAVEFILE")
+
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "media_id": [1], "kind": ["audio"], "data": [_encode_wav(mono)],
+                "width": [0], "height": [0], "sample_rate": [16000],
+                "duration_ms": [25], "codec": ["wav"],
+            }
+        )
+    )
+    r = audio_stats(media).collect()[0]
+    assert r["n_samples"] == 400
+    assert abs(r["rms"] - float(np.sqrt(np.mean(mono.astype(np.float64) ** 2)))) < 1e-9
