@@ -31,51 +31,6 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-def _engine_term_count(spark, sf_dir):
-    from lucene_rust_spark.entry_helpers import count_df, gate_searcher
-    from lucene_rust_spark.oracle.bm25 import term_query
-
-    return count_df(spark, gate_searcher(spark, sf_dir).count(term_query("merge")))
-
-
-def _engine_and_count(spark, sf_dir):
-    from lucene_rust_spark.entry_helpers import count_df, gate_searcher
-    from lucene_rust_spark.oracle.bm25 import bool_query
-
-    q = bool_query(must=["merge", "window"])
-    return count_df(spark, gate_searcher(spark, sf_dir).count(q))
-
-
-def _engine_not_count(spark, sf_dir):
-    from lucene_rust_spark.entry_helpers import count_df, gate_searcher
-    from lucene_rust_spark.oracle.bm25 import bool_query
-
-    q = bool_query(must=["merge"], must_not=["window"])
-    return count_df(spark, gate_searcher(spark, sf_dir).count(q))
-
-
-def _engine_msm_count(spark, sf_dir):
-    from lucene_rust_spark.entry_helpers import count_df, gate_searcher
-    from lucene_rust_spark.oracle.bm25 import bool_query
-
-    q = bool_query(should=["merge", "window", "batch"], min_should_match=2)
-    return count_df(spark, gate_searcher(spark, sf_dir).count(q))
-
-
-def _engine_prefix_count(spark, sf_dir):
-    from lucene_rust_spark.entry_helpers import count_df, gate_searcher
-
-    q = {"type": "prefix", "prefix": "st"}
-    return count_df(spark, gate_searcher(spark, sf_dir).count(q))
-
-
-def _engine_fuzzy_count(spark, sf_dir):
-    from lucene_rust_spark.entry_helpers import count_df, gate_searcher
-
-    q = {"type": "fuzzy", "term": "merje", "max_edits": 1}
-    return count_df(spark, gate_searcher(spark, sf_dir).count(q))
-
-
 _TOKS_CTE = (
     "WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),"
     " '[^a-z0-9_]+'), x -> x <> '') AS toks FROM documents)"
@@ -85,6 +40,59 @@ _POS_CTE = (
     f"{_TOKS_CTE}, pos AS (SELECT doc_id, unnest(toks) AS term,"
     " unnest(generate_series(1, len(toks))) AS pos FROM tk)"
 )
+
+
+def _engine_bool_counts(spark, sf_dir):
+    """Eight query operators through the engine's count path (TermQuery,
+    Boolean MUST / MUST_NOT / minimum-should-match, Prefix, Fuzzy,
+    Wildcard, TermRange) consolidated into ONE gate row so every operator
+    keeps a per-round driver correctness signal within the evaluated gate
+    budget."""
+    from lucene_rust_spark.entry_helpers import gate_searcher
+    from lucene_rust_spark.oracle.bm25 import bool_query, term_query
+
+    s = gate_searcher(spark, sf_dir)
+    row = (
+        int(s.count(term_query("merge"))),
+        int(s.count(bool_query(must=["merge", "window"]))),
+        int(s.count(bool_query(must=["merge"], must_not=["window"]))),
+        int(
+            s.count(
+                bool_query(should=["merge", "window", "batch"], min_should_match=2)
+            )
+        ),
+        int(s.count({"type": "prefix", "prefix": "st"})),
+        int(s.count({"type": "fuzzy", "term": "merje", "max_edits": 1})),
+        int(s.count({"type": "wildcard", "pattern": "mer*"})),
+        int(s.count({"type": "range", "lo": "m", "hi": "s"})),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_term long, n_and long, n_not long, n_msm long, n_prefix long,"
+        " n_fuzzy long, n_wildcard long, n_range long",
+    )
+
+
+SQL_ENGINE_BOOL_COUNTS = f"""
+{_TOKS_CTE}
+SELECT
+ (SELECT count(*) FROM tk WHERE list_contains(toks, 'merge'))::BIGINT AS n_term,
+ (SELECT count(*) FROM tk WHERE list_contains(toks, 'merge')
+   AND list_contains(toks, 'window'))::BIGINT AS n_and,
+ (SELECT count(*) FROM tk WHERE list_contains(toks, 'merge')
+   AND NOT list_contains(toks, 'window'))::BIGINT AS n_not,
+ (SELECT count(*) FROM tk WHERE
+   (list_contains(toks, 'merge')::INT + list_contains(toks, 'window')::INT
+    + list_contains(toks, 'batch')::INT) >= 2)::BIGINT AS n_msm,
+ (SELECT count(*) FROM tk
+   WHERE len(list_filter(toks, x -> x LIKE 'st%')) > 0)::BIGINT AS n_prefix,
+ (SELECT count(*) FROM tk
+   WHERE len(list_filter(toks, x -> levenshtein(x, 'merje') <= 1)) > 0)::BIGINT AS n_fuzzy,
+ (SELECT count(*) FROM tk
+   WHERE len(list_filter(toks, x -> x LIKE 'mer%')) > 0)::BIGINT AS n_wildcard,
+ (SELECT count(*) FROM tk
+   WHERE len(list_filter(toks, x -> x >= 'm' AND x < 's')) > 0)::BIGINT AS n_range
+"""
 
 
 def _engine_bm25_scores(spark, sf_dir):
@@ -378,42 +386,50 @@ FROM terms2 GROUP BY doc_id
 """
 
 
-def _engine_phrase_count(spark, sf_dir):
-    from lucene_rust_spark.entry_helpers import count_df, gate_searcher
-    from lucene_rust_spark.oracle.bm25 import phrase_query
+def _engine_phrase_counts(spark, sf_dir):
+    """Four positional operators in one gate row: exact PhraseQuery,
+    sloppy slop=1 (pinned anchor semantics), 3-term sloppy slop=2 under
+    EXACT Lucene SloppyPhraseScorer semantics (spread of adjusted
+    positions), and MultiPhraseQuery (per-slot alternatives)."""
+    from lucene_rust_spark.entry_helpers import gate_searcher
+    from lucene_rust_spark.oracle.bm25 import multi_phrase_query, phrase_query
 
     s = gate_searcher(spark, sf_dir)
-    return count_df(spark, s.count(phrase_query(["merge", "window"])))
+    row = (
+        int(s.count(phrase_query(["merge", "window"]))),
+        int(s.count(phrase_query(["merge", "window"], slop=1))),
+        int(
+            s.count(
+                phrase_query(
+                    ["merge", "window", "batch"], slop=2, slop_mode="lucene"
+                )
+            )
+        ),
+        int(s.count(multi_phrase_query([["merge", "batch"], ["window"]]))),
+    )
+    return spark.createDataFrame(
+        [row], "n_phrase long, n_sloppy1 long, n_sloppy3 long, n_multi long"
+    )
 
 
-def _engine_sloppy_count(spark, sf_dir):
-    from lucene_rust_spark.entry_helpers import count_df, gate_searcher
-    from lucene_rust_spark.oracle.bm25 import phrase_query
-
-    s = gate_searcher(spark, sf_dir)
-    return count_df(spark, s.count(phrase_query(["merge", "window"], slop=1)))
-
-
-def _engine_sloppy3_count(spark, sf_dir):
-    """3-term sloppy phrase under EXACT Lucene semantics (slop_mode=
-    'lucene', SloppyPhraseScorer pq algorithm): a doc matches iff some
-    per-slot choice of adjusted positions has spread <= slop — strictly
-    tighter than the pinned anchor-window form for >2-term phrases."""
-    from lucene_rust_spark.entry_helpers import count_df, gate_searcher
-    from lucene_rust_spark.oracle.bm25 import phrase_query
-
-    s = gate_searcher(spark, sf_dir)
-    q = phrase_query(["merge", "window", "batch"], slop=2, slop_mode="lucene")
-    return count_df(spark, s.count(q))
-
-
-def _engine_multi_phrase_count(spark, sf_dir):
-    from lucene_rust_spark.entry_helpers import count_df, gate_searcher
-    from lucene_rust_spark.oracle.bm25 import multi_phrase_query
-
-    s = gate_searcher(spark, sf_dir)
-    q = multi_phrase_query([["merge", "batch"], ["window"]])
-    return count_df(spark, s.count(q))
+SQL_ENGINE_PHRASE_COUNTS = f"""
+{_POS_CTE}
+SELECT
+ (SELECT count(DISTINCT a.doc_id) FROM pos a
+   JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+   WHERE a.term = 'merge' AND b.term = 'window')::BIGINT AS n_phrase,
+ (SELECT count(DISTINCT a.doc_id) FROM pos a
+   JOIN pos b ON a.doc_id = b.doc_id AND abs(b.pos - a.pos - 1) <= 1
+   WHERE a.term = 'merge' AND b.term = 'window')::BIGINT AS n_sloppy1,
+ (SELECT count(DISTINCT a.doc_id) FROM pos a
+   JOIN pos b ON a.doc_id = b.doc_id JOIN pos c ON a.doc_id = c.doc_id
+   WHERE a.term = 'merge' AND b.term = 'window' AND c.term = 'batch'
+   AND greatest(a.pos, b.pos - 1, c.pos - 2)
+     - least(a.pos, b.pos - 1, c.pos - 2) <= 2)::BIGINT AS n_sloppy3,
+ (SELECT count(DISTINCT a.doc_id) FROM pos a
+   JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+   WHERE a.term IN ('merge', 'batch') AND b.term = 'window')::BIGINT AS n_multi
+"""
 
 
 def _engine_term_stats(spark, sf_dir):
@@ -431,20 +447,6 @@ def _engine_term_stats(spark, sf_dir):
             F.col("total_term_freq").cast("long").alias("ttf"),
         )
     )
-
-
-def _engine_wildcard_count(spark, sf_dir):
-    from lucene_rust_spark.entry_helpers import count_df, gate_searcher
-
-    s = gate_searcher(spark, sf_dir)
-    return count_df(spark, s.count({"type": "wildcard", "pattern": "mer*"}))
-
-
-def _engine_range_count(spark, sf_dir):
-    from lucene_rust_spark.entry_helpers import count_df, gate_searcher
-
-    s = gate_searcher(spark, sf_dir)
-    return count_df(spark, s.count({"type": "range", "lo": "m", "hi": "s"}))
 
 
 def _engine_delete_count(spark, sf_dir):
@@ -589,96 +591,18 @@ def _engine_count_threshold(spark, sf_dir):
     return spark.createDataFrame([(int(n), rel)], "n_hits long, relation string")
 
 _ENGINE_QUERIES = {
-    "engine_prefix_count": (
-        _engine_prefix_count,
-        f"{_TOKS_CTE} SELECT count(*)::BIGINT AS n_hits FROM tk "
-        "WHERE len(list_filter(toks, x -> x LIKE 'st%')) > 0",
-    ),
-    "engine_fuzzy_count": (
-        _engine_fuzzy_count,
-        # same expansion semantics: terms within edit distance 1 of 'merje'
-        f"{_TOKS_CTE} SELECT count(*)::BIGINT AS n_hits FROM tk "
-        "WHERE len(list_filter(toks, x -> levenshtein(x, 'merje') <= 1)) > 0",
-    ),
-    "engine_term_count": (
-        _engine_term_count,
-        "WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),"
-        " '[^a-z0-9_]+'), x -> x <> '') AS toks FROM documents) "
-        "SELECT count(*)::BIGINT AS n_hits FROM tk WHERE list_contains(toks, 'merge')",
-    ),
-    "engine_and_count": (
-        _engine_and_count,
-        "WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),"
-        " '[^a-z0-9_]+'), x -> x <> '') AS toks FROM documents) "
-        "SELECT count(*)::BIGINT AS n_hits FROM tk WHERE list_contains(toks, 'merge')"
-        " AND list_contains(toks, 'window')",
-    ),
-    "engine_not_count": (
-        _engine_not_count,
-        "WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),"
-        " '[^a-z0-9_]+'), x -> x <> '') AS toks FROM documents) "
-        "SELECT count(*)::BIGINT AS n_hits FROM tk WHERE list_contains(toks, 'merge')"
-        " AND NOT list_contains(toks, 'window')",
-    ),
-    "engine_msm_count": (
-        _engine_msm_count,
-        "WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text),"
-        " '[^a-z0-9_]+'), x -> x <> '') AS toks FROM documents) "
-        "SELECT count(*)::BIGINT AS n_hits FROM tk WHERE "
-        "(list_contains(toks, 'merge')::INT + list_contains(toks, 'window')::INT"
-        " + list_contains(toks, 'batch')::INT) >= 2",
-    ),
+    "engine_bool_counts": (_engine_bool_counts, SQL_ENGINE_BOOL_COUNTS),
     "engine_bm25_scores": (_engine_bm25_scores, SQL_ENGINE_BM25_SCORES),
     "engine_synonym_scores": (_engine_synonym_scores, SQL_ENGINE_SYNONYM_SCORES),
     "engine_blended_scores": (_engine_blended_scores, SQL_ENGINE_BLENDED_SCORES),
     "engine_indri_and_scores": (_engine_indri_and_scores, SQL_ENGINE_INDRI_AND_SCORES),
-    "engine_phrase_count": (
-        _engine_phrase_count,
-        f"{_POS_CTE} SELECT count(DISTINCT a.doc_id)::BIGINT AS n_hits "
-        "FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
-        "WHERE a.term = 'merge' AND b.term = 'window'",
-    ),
-    "engine_sloppy_count": (
-        _engine_sloppy_count,
-        # pinned slop semantics: anchor pa of 'merge' with some 'window'
-        # position pb such that |pb - (pa + 1)| <= slop (slop = 1)
-        f"{_POS_CTE} SELECT count(DISTINCT a.doc_id)::BIGINT AS n_hits "
-        "FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND abs(b.pos - a.pos - 1) <= 1 "
-        "WHERE a.term = 'merge' AND b.term = 'window'",
-    ),
-    "engine_sloppy3_count": (
-        _engine_sloppy3_count,
-        # Lucene match existence: exists (pa, pb, pc) with adjusted-position
-        # spread <= slop (greatest - least over pa, pb-1, pc-2)
-        f"{_POS_CTE} SELECT count(DISTINCT a.doc_id)::BIGINT AS n_hits "
-        "FROM pos a JOIN pos b ON a.doc_id = b.doc_id "
-        "JOIN pos c ON a.doc_id = c.doc_id "
-        "WHERE a.term = 'merge' AND b.term = 'window' AND c.term = 'batch' "
-        "AND greatest(a.pos, b.pos - 1, c.pos - 2)"
-        " - least(a.pos, b.pos - 1, c.pos - 2) <= 2",
-    ),
-    "engine_multi_phrase_count": (
-        _engine_multi_phrase_count,
-        f"{_POS_CTE} SELECT count(DISTINCT a.doc_id)::BIGINT AS n_hits "
-        "FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
-        "WHERE a.term IN ('merge', 'batch') AND b.term = 'window'",
-    ),
+    "engine_phrase_counts": (_engine_phrase_counts, SQL_ENGINE_PHRASE_COUNTS),
     "engine_term_stats": (
         _engine_term_stats,
         f"{_TOKS_CTE}, fl AS (SELECT tk.doc_id, u.term, count(*)::BIGINT AS tf "
         "FROM tk, unnest(toks) AS u(term) GROUP BY tk.doc_id, u.term) "
         "SELECT term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS ttf "
         "FROM fl GROUP BY term ORDER BY doc_freq DESC, term ASC LIMIT 20",
-    ),
-    "engine_wildcard_count": (
-        _engine_wildcard_count,
-        f"{_TOKS_CTE} SELECT count(*)::BIGINT AS n_hits FROM tk "
-        "WHERE len(list_filter(toks, x -> x LIKE 'mer%')) > 0",
-    ),
-    "engine_range_count": (
-        _engine_range_count,
-        f"{_TOKS_CTE} SELECT count(*)::BIGINT AS n_hits FROM tk "
-        "WHERE len(list_filter(toks, x -> x >= 'm' AND x < 's')) > 0",
     ),
     "engine_delete_count": (
         _engine_delete_count,

@@ -820,17 +820,27 @@ def events_stream_windowed(spark, sf_dir):
 
     from lucene_rust_spark.streaming.windows import stream_windowed_counts
 
+    from pyspark.sql.window import Window
+
     ev = (
         spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         .select("event_id", "ts", "user_id", "event_type", "value")
-        .orderBy("ts")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy("ts", "event_id")),
+        )
     )
     n = ev.count()
     half = n // 2
     work = tempfile.mkdtemp(prefix="lrs_stream_gate_")
     src = os.path.join(work, "src")
     os.makedirs(src)
-    for name, df in (("b1", ev.limit(half)), ("b2", ev.subtract(ev.limit(half)))):
+    # total order on (ts, event_id): the two halves partition the rows
+    # deterministically (orderBy+limit with tied ts is NOT stable across
+    # two evaluations)
+    b1 = ev.filter(F.col("rn") <= half).drop("rn")
+    b2 = ev.filter(F.col("rn") > half).drop("rn")
+    for name, df in (("b1", b1), ("b2", b2)):
         tmp = os.path.join(work, f"tmp_{name}")
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
         part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]

@@ -111,7 +111,11 @@ def check_deletes(spark: SparkSession, index_dir: str) -> dict:
     t = read_tombstones(spark, index_dir, kind="hard")
     n_tomb = t.count() if t is not None else 0
     assert m.get("del_count", 0) == n_tomb, (m.get("del_count"), n_tomb)
-    docmap = spark.read.parquet(os.path.join(index_dir, "docmap"))
+    # after a reclaiming merge the store moves to docmap_g{gen}: read the
+    # manifest's docmap_dir exactly like IndexSearcher does
+    docmap = spark.read.parquet(
+        os.path.join(index_dir, m.get("docmap_dir", "docmap"))
+    )
     if t is not None:
         orphans = t.join(docmap.select("doc_id"), "doc_id", "left_anti").count()
         assert orphans == 0, f"{orphans} tombstones reference unknown docs"

@@ -317,11 +317,16 @@ def _kept_expr(keys: list):
         ]
     # ONE SQL string, not an OR chain of Column objects: py4j marshals
     # each Column op separately (~0.7 ms each — seconds at 512 intervals)
-    def q(t: str) -> str:
-        return "'" + t.replace("'", "''") + "'"
+    def term_eq(t: str) -> str:
+        # public API accepts arbitrary term strings; backslashes, quotes,
+        # or control chars would break (or subvert) a quoted literal —
+        # compare via hex(UTF-8) for anything outside the safe set
+        if all(c.isalnum() or c in "_-." for c in t) and t.isascii():
+            return f"term = '{t}'"
+        return f"hex(encode(term, 'UTF-8')) = '{t.encode('utf-8').hex().upper()}'"
 
     parts = [
-        f"(term = {q(t)} AND seg = {s} AND block_no BETWEEN {a} AND {b})"
+        f"({term_eq(t)} AND seg = {s} AND block_no BETWEEN {a} AND {b})"
         for t, s, a, b in intervals
     ]
     return F.expr(" OR ".join(parts))

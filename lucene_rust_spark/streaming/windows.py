@@ -110,6 +110,8 @@ def _session_fn(gap_minutes: int):
     def fn(key, pdfs, state):
         # state holds NANOSECOND epochs (pandas datetime64[ns] native);
         # setTimeoutTimestamp takes epoch MILLIS
+        import numpy as np
+
         user_id = key[0]
         if state.hasTimedOut:
             start_ns, last_ns, n, v = state.get
@@ -124,22 +126,39 @@ def _session_fn(gap_minutes: int):
                 }
             )
             return
-        rows = pd.concat(list(pdfs))
-        ts_ns = rows["ts"].astype("int64").sort_values()
-        vsum = float(rows["value"].sum())
-        n_new = len(rows)
-        first_ns, last_new = int(ts_ns.iloc[0]), int(ts_ns.iloc[-1])
-        out = []
+        rows = pd.concat(list(pdfs)).sort_values("ts", kind="mergesort")
+        ts_ns = rows["ts"].astype("int64").to_numpy()
+        vals = rows["value"].to_numpy(dtype=float)
+        # split THIS batch's sorted timestamps on gaps > gap_ns: a single
+        # micro-batch (availableNow backfill, multi-hour file) can carry
+        # several distinct sessions for one user
+        cuts = np.flatnonzero(np.diff(ts_ns) > gap_ns) + 1
+        bounds = np.concatenate(([0], cuts, [len(ts_ns)]))
+        segs = [
+            (
+                int(ts_ns[a]),
+                int(ts_ns[b - 1]),
+                int(b - a),
+                float(vals[a:b].sum()),
+            )
+            for a, b in zip(bounds[:-1], bounds[1:])
+        ]
         if state.exists:
-            start_ns, last_ns, n, v = state.get
-            if first_ns - last_ns > gap_ns:
-                # batch starts a NEW session: close the old one now
-                out.append((user_id, start_ns, last_ns, n, v))
-                start_ns, last_ns, n, v = first_ns, last_new, n_new, vsum
+            segs.append(tuple(state.get))
+            segs.sort(key=lambda s: s[0])
+        # merge adjacent segments whose gap closed (the stored session can
+        # bridge into — or be bridged by — the batch's segments)
+        merged = [segs[0]]
+        for s in segs[1:]:
+            p = merged[-1]
+            if s[0] - p[1] <= gap_ns:
+                merged[-1] = (p[0], max(p[1], s[1]), p[2] + s[2], p[3] + s[3])
             else:
-                last_ns, n, v = max(last_ns, last_new), n + n_new, v + vsum
-        else:
-            start_ns, last_ns, n, v = first_ns, last_new, n_new, vsum
+                merged.append(s)
+        # every segment but the trailing one is CLOSED (a later event this
+        # batch proved the gap elapsed) — emit now; keep only the tail
+        out = [(user_id, *s) for s in merged[:-1]]
+        start_ns, last_ns, n, v = merged[-1]
         state.update((start_ns, last_ns, n, v))
         # emit when the WATERMARK passes last_ts + gap (event-time timeout)
         state.setTimeoutTimestamp(last_ns // 1_000_000 + gap_ns // 1_000_000)

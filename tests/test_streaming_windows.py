@@ -133,3 +133,68 @@ def test_sessionize_stateful(spark, tmp_path):
     u2 = [s for s in sess if s[0] == 2]
     assert (2, "2024-01-01T00:05:00", 1, 10.0) in u2
     assert (2, "2024-01-01T03:05:00", 1, 20.0) in u2
+
+
+def test_sessionize_intra_batch_gap_split(spark, tmp_path):
+    """A SINGLE micro-batch (availableNow backfill file spanning hours)
+    carrying >gap-separated events for one user must yield multiple
+    sessions, not one merged span."""
+    from lucene_rust_spark.streaming.windows import stream_sessionize
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+
+    # user 7, ONE file: events at 00:00/00:10 (session A), 03:00 (B),
+    # 06:00/06:05 (C) — gap 30 min. A and B close within the batch; C
+    # stays open until the timeout batch.
+    _write_batch(
+        spark, src,
+        [
+            (1, _ts("2024-01-01 00:00:00"), 7, "click", 1.0),
+            (2, _ts("2024-01-01 00:10:00"), 7, "click", 2.0),
+            (3, _ts("2024-01-01 03:00:00"), 7, "click", 4.0),
+            (4, _ts("2024-01-01 06:00:00"), 7, "click", 8.0),
+            (5, _ts("2024-01-01 06:05:00"), 7, "click", 16.0),
+        ],
+        "b1",
+    )
+    q = stream_sessionize(spark, src, out, ck, gap_minutes=30, watermark="1 hour")
+    q.awaitTermination()
+
+    # cross-batch continuation: 06:20 extends session C (gap from 06:05
+    # is 15 min), then a far-future pusher closes it via timeout
+    _write_batch(
+        spark, src,
+        [
+            (6, _ts("2024-01-01 06:20:00"), 7, "click", 32.0),
+            (7, _ts("2024-01-02 00:00:00"), 9, "click", 0.0),
+        ],
+        "b2",
+    )
+    q = stream_sessionize(spark, src, out, ck, gap_minutes=30, watermark="1 hour")
+    q.awaitTermination()
+    _write_batch(
+        spark, src,
+        [(8, _ts("2024-01-03 00:00:00"), 9, "click", 0.0)],
+        "b3",
+    )
+    q = stream_sessionize(spark, src, out, ck, gap_minutes=30, watermark="1 hour")
+    q.awaitTermination()
+
+    u7 = sorted(
+        (
+            r["session_start"].isoformat(),
+            r["session_end"].isoformat(),
+            r["n_events"],
+            r["value_sum"],
+        )
+        for r in spark.read.parquet(out).collect()
+        if r["user_id"] == 7
+    )
+    assert u7 == [
+        ("2024-01-01T00:00:00", "2024-01-01T00:10:00", 2, 3.0),
+        ("2024-01-01T03:00:00", "2024-01-01T03:00:00", 1, 4.0),
+        ("2024-01-01T06:00:00", "2024-01-01T06:20:00", 3, 56.0),
+    ]
