@@ -721,27 +721,86 @@ FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
 # ---------------------------------------------------------------------------
 
 
-def ann_hnsw_topk10(spark, sf_dir):
-    """Per-shard HNSW graph ANN (clt/util/hnsw/ analog): build (or reuse)
-    the shard graphs over the embeddings table, beam-search the vec_id=0
-    query, merge per-shard top-k. Approximate by nature — registered as a
-    rows-only gate (no SQL oracle); recall vs brute force is pinned by
-    tests/test_dedup_similarity.py::test_hnsw_per_shard_graph_ann."""
+def _hnsw_gate_index(spark, sf_dir):
+    """Build (or reuse) the per-shard HNSW graphs over the embeddings
+    table; returns (index_dir, query_vector)."""
     import hashlib
 
-    from lucene_rust_spark.operators.hnsw import build_hnsw_index, hnsw_topk
+    from lucene_rust_spark.operators.hnsw import build_hnsw_index
 
-    e = _emb(spark, sf_dir).select(
-        F.col("vec_id").alias("id"), "embedding"
-    )
+    e = _emb(spark, sf_dir).select(F.col("vec_id").alias("id"), "embedding")
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    idx = f"/tmp/lrs_hnsw_gate/{key}"
+    idx = f"/tmp/lrs_hnsw_gate/{key}_v2"
     if not os.path.exists(os.path.join(idx, "_SUCCESS")):
         build_hnsw_index(e.filter(F.col("id") != 0), idx, n_shards=4)
     qv = e.filter(F.col("id") == 0).first()["embedding"]
-    return hnsw_topk(spark, idx, qv, k=10, ef=128).select(
-        F.col("id").alias("vec_id"), F.round("cos", 4).alias("cos")
+    return idx, qv
+
+
+def ann_hnsw_selfcheck(spark, sf_dir):
+    """Per-shard HNSW graph ANN (clt/util/hnsw/ analog), SELF-CHECKING:
+    beam-search the vec_id=0 query through the distributed per-shard
+    path, compute the EXACT cosine top-10 from the same table, and emit
+    (n_hnsw, overlap_ge_9). Approximate results cannot hash-match a SQL
+    re-derivation, but the overlap criterion CAN be a constant oracle —
+    so the driver gate now verifies recall every round instead of only
+    row count (r4 verdict item 3)."""
+    import numpy as np
+
+    from lucene_rust_spark.operators.hnsw import hnsw_topk
+
+    idx, qv = _hnsw_gate_index(spark, sf_dir)
+    approx = [r["id"] for r in hnsw_topk(spark, idx, qv, k=10, ef=256).collect()]
+    rows = _emb(spark, sf_dir).filter(F.col("vec_id") != 0).collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    q = np.asarray(qv, dtype=np.float64)
+    sims = (X / np.linalg.norm(X, axis=1, keepdims=True)) @ (q / np.linalg.norm(q))
+    exact = set(ids[np.argsort(-sims, kind="stable")[:10]].tolist())
+    overlap = len(set(approx) & exact)
+    return spark.createDataFrame(
+        [(len(approx), bool(overlap >= 9))], "n_hnsw long, overlap_ge_9 boolean"
     )
+
+
+SQL_ANN_HNSW_SELFCHECK = "SELECT 10::BIGINT AS n_hnsw, true AS overlap_ge_9"
+
+
+def ann_filtered_knn(spark, sf_dir):
+    """Filtered KNN (clt/search/abstract_knn_vector_query.rs,
+    knn_vector_query.rs): KnnVectorQuery with a pre-filter
+    (vec_id % 31 = 5, ~3% selective). The filter becomes a per-shard
+    bitmask; under exact_cutoff the shard scores the allowed vectors
+    EXACTLY (Lucene's visited-limit fallback), so the result is the true
+    filtered top-10 and DuckDB can verify it value-for-value."""
+    from lucene_rust_spark.operators.hnsw import hnsw_topk
+
+    idx, qv = _hnsw_gate_index(spark, sf_dir)
+    allowed = (
+        _emb(spark, sf_dir)
+        .filter((F.col("vec_id") % 31 == 5) & (F.col("vec_id") != 0))
+        .select(F.col("vec_id").alias("id"))
+    )
+    out = hnsw_topk(
+        spark, idx, qv, k=10, ef=256, filter_ids=allowed, exact_cutoff=0.2
+    )
+    return out.select(F.col("id").alias("vec_id")).orderBy("vec_id")
+
+
+SQL_ANN_FILTERED_KNN = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+c AS (
+  SELECT e.vec_id,
+    list_sum(list_transform(list_zip(e.embedding::DOUBLE[], q.qv), p -> p[1] * p[2]))
+    / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x)))
+     * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> 0 AND e.vec_id % 31 = 5
+)
+SELECT vec_id FROM (
+  SELECT vec_id FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10
+) ORDER BY vec_id
+"""
 
 
 def topk_by_field(spark, sf_dir):
@@ -880,6 +939,93 @@ ORDER BY 1, 2
 """
 
 
+def events_sessions(spark, sf_dir):
+    """REAL streaming gap-sessionizer run (readStream → watermark(2h) →
+    applyInPandasWithState gap=30min → append parquet sink) over the
+    events table split into THREE time-ordered batch files. Emitted
+    sessions = every non-final gap-island per user (closed eagerly when
+    a later event arrives past the gap) plus final islands whose
+    event-time timeout fired; availableNow runs a trailing no-data
+    micro-batch, so timeouts evaluate against the FINAL watermark
+    (max ts − 2h). The DuckDB oracle derives exactly that set with a
+    lag/gap-island query."""
+    import glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from lucene_rust_spark.streaming.windows import stream_sessionize
+
+    ev = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("rn", F.row_number().over(Window.orderBy("ts", "event_id")))
+    )
+    n = ev.count()
+    n1, n2 = n // 3, (2 * n) // 3
+    work = tempfile.mkdtemp(prefix="lrs_sess_gate_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    batches = (
+        ("b1", ev.filter(F.col("rn") <= n1)),
+        ("b2", ev.filter((F.col("rn") > n1) & (F.col("rn") <= n2))),
+        ("b3", ev.filter(F.col("rn") > n2)),
+    )
+    for name, df in batches:
+        tmp = os.path.join(work, f"tmp_{name}")
+        df.drop("rn").coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(src, f"{name}.parquet"))
+    out = os.path.join(work, "out")
+    q = stream_sessionize(
+        spark, src, out, os.path.join(work, "ck"), gap_minutes=30, watermark="2 hours"
+    )
+    q.awaitTermination()
+    res = (
+        spark.read.parquet(out)
+        .select(
+            "user_id",
+            F.unix_timestamp("session_start").alias("s_start"),
+            F.unix_timestamp("session_end").alias("s_end"),
+            "n_events",
+            F.round("value_sum", 4).alias("value_sum"),
+        )
+        .orderBy("user_id", "s_start")
+    )
+    out_rows = res.collect()
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(out_rows, res.schema)
+
+
+SQL_EVENTS_SESSIONS = """
+WITH wm AS (SELECT max(ts) - INTERVAL '2 hours' AS w FROM events),
+s AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+g AS (
+  SELECT *, sum(brk) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING) AS grp
+  FROM s
+),
+isl AS (
+  SELECT user_id, grp, min(ts) AS session_start, max(ts) AS session_end,
+         count(*)::BIGINT AS n_events, round(sum(value), 4) AS value_sum
+  FROM g GROUP BY user_id, grp
+),
+li AS (SELECT *, max(grp) OVER (PARTITION BY user_id) AS maxgrp FROM isl)
+SELECT user_id, floor(epoch(session_start))::BIGINT AS s_start,
+       floor(epoch(session_end))::BIGINT AS s_end, n_events, value_sum
+FROM li CROSS JOIN wm
+WHERE grp < maxgrp OR session_end + INTERVAL '30 minutes' < wm.w
+ORDER BY user_id, s_start
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -909,11 +1055,14 @@ GATE: dict[str, tuple] = {
     "text_lang_id": (text_lang_id, SQL_TEXT_LANG_ID),
     "text_token_counts": (text_token_counts, SQL_TEXT_TOKEN_COUNTS),
     "ann_cosine_scores": (ann_cosine_scores, SQL_ANN_COSINE_SCORES),
-    # approximate graph search has no SQL twin: rows-only driver check;
-    # recall is pinned by the pytest suite
-    "ann_hnsw_topk10": (ann_hnsw_topk10, None),
+    # approximate graph search can't hash-match a SQL re-derivation, but
+    # the overlap-vs-exact criterion CAN be a constant oracle — recall is
+    # driver-verified every round (plus the pytest recall suite)
+    "ann_hnsw_selfcheck": (ann_hnsw_selfcheck, SQL_ANN_HNSW_SELFCHECK),
+    "ann_filtered_knn": (ann_filtered_knn, SQL_ANN_FILTERED_KNN),
     "topk_by_field": (topk_by_field, SQL_TOPK_BY_FIELD),
     "agg_partial_final": (agg_partial_final, SQL_AGG_PARTIAL_FINAL),
     "events_windowed": (events_windowed, SQL_EVENTS_WINDOWED),
     "events_stream_windowed": (events_stream_windowed, SQL_EVENTS_STREAM_WINDOWED),
+    "events_sessions": (events_sessions, SQL_EVENTS_SESSIONS),
 }

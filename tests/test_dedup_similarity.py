@@ -221,16 +221,23 @@ def test_hnsw_per_shard_graph_ann(spark, tmp_path):
         recalls.append(len(set(exact) & set(approx)) / 10)
     assert sum(recalls) / len(recalls) >= 0.9, recalls
 
-    # rebuild determinism: same blobs modulo row order
+    # rebuild determinism: same chunk rows modulo row order
     out2 = str(tmp_path / "hnsw2")
     build_hnsw_index(emb, out2, n_shards=4, m=12, ef_construction=80)
-    b1 = {r["shard"]: bytes(r["blob"]) for r in spark.read.parquet(out).collect()}
-    b2 = {r["shard"]: bytes(r["blob"]) for r in spark.read.parquet(out2).collect()}
+
+    def rows_by_key(path):
+        return {
+            (r["shard"], r["kind"], r["part"]): (r["meta"], bytes(r["payload"]))
+            for r in spark.read.parquet(path).collect()
+        }
+
+    b1, b2 = rows_by_key(out), rows_by_key(out2)
     assert b1 == b2
 
     # single-graph sanity: exhaustive beam (ef = n) is exact within a shard
-    g = HnswGraph.from_bytes(b1[0])
-    ids0 = set(g.ids.tolist())
+    pdf0 = spark.read.parquet(out).filter("shard = 0").toPandas()
+    g = HnswGraph.from_rows(pdf0)
+    ids0 = set(g.ids[: g.n].tolist())
     q = X[5]
     got = [i for i, _ in g.search(q, 5, ef=len(ids0))]
     qn = q / np.linalg.norm(q)
@@ -238,3 +245,83 @@ def test_hnsw_per_shard_graph_ann(spark, tmp_path):
     Xs = Xs / np.linalg.norm(Xs, axis=1, keepdims=True)
     want = [sorted(ids0)[j] for j in np.argsort(-(Xs @ qn))[:5]]
     assert got == want
+
+
+def test_hnsw_filtered_knn(spark, tmp_path):
+    """Filtered KNN (clt/search/abstract_knn_vector_query.rs shape): the
+    pre-filter becomes a per-shard bitmask; a selective filter takes the
+    EXACT fallback and must equal brute-force filtered cosine top-k; a
+    broad filter stays on the beam path with recall >= 0.9 and only
+    allowed ids in the result."""
+    import numpy as np
+    import pandas as pd
+
+    from lucene_rust_spark.operators.hnsw import build_hnsw_index, hnsw_topk
+
+    rng = np.random.default_rng(7)
+    n, dim = 3000, 24
+    X = rng.standard_normal((n, dim)).astype(np.float32)
+    emb = spark.createDataFrame(
+        pd.DataFrame({"id": np.arange(n), "embedding": [r.tolist() for r in X]})
+    )
+    out = str(tmp_path / "hnsw_f")
+    build_hnsw_index(emb, out, n_shards=4, m=12, ef_construction=80)
+    q = X[42]
+    qn = q / np.linalg.norm(q)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sims = Xn @ qn
+
+    # selective filter (id % 31 == 5: ~3.2% < exact_cutoff 5%) -> exact path
+    sel = np.arange(n)[np.arange(n) % 31 == 5]
+    want = sel[np.argsort(-sims[sel], kind="stable")[:10]].tolist()
+    got = [
+        r["id"]
+        for r in hnsw_topk(spark, out, q, 10, ef=64, filter_ids=sel).collect()
+    ]
+    assert got == want
+
+    # broad filter (50%) -> beam path; all results allowed, recall >= 0.9
+    broad = np.arange(n)[np.arange(n) % 2 == 0]
+    want_b = set(broad[np.argsort(-sims[broad], kind="stable")[:10]].tolist())
+    got_b = [
+        r["id"]
+        for r in hnsw_topk(spark, out, q, 10, ef=128, filter_ids=broad).collect()
+    ]
+    assert all(g % 2 == 0 for g in got_b)
+    assert len(set(got_b) & want_b) >= 9
+
+    # filter_ids as a DataFrame goes through the same path
+    fdf = spark.createDataFrame(pd.DataFrame({"id": sel}))
+    got_df = [
+        r["id"]
+        for r in hnsw_topk(spark, out, q, 10, ef=64, filter_ids=fdf).collect()
+    ]
+    assert got_df == want
+
+
+def test_hnsw_chunked_serialization(spark, tmp_path, monkeypatch):
+    """A shard's arrays split across multiple <= CHUNK_BYTES rows and
+    reassemble identically — the path that removes the ~2 GB single-cell
+    ceiling (verified by forcing tiny chunks)."""
+    import numpy as np
+    import pandas as pd
+
+    from lucene_rust_spark.operators import hnsw as H
+
+    rng = np.random.default_rng(3)
+    n, dim = 500, 16
+    X = rng.standard_normal((n, dim)).astype(np.float32)
+    g = H.HnswGraph(dim, m=8, ef_construction=40)
+    g.add_batch(np.arange(n, dtype=np.int64), X)
+    q = rng.standard_normal(dim).astype(np.float32)
+    ref = g.search(q, 10, ef=64)
+
+    monkeypatch.setattr(H, "CHUNK_BYTES", 4096)
+    rows = pd.DataFrame(
+        g.to_rows(0), columns=["shard", "kind", "part", "meta", "payload"]
+    )
+    # vecs alone are 500*16*4 = 32000 bytes -> >= 8 chunk rows
+    assert (rows["kind"] == "vecs").sum() >= 8
+    assert rows["payload"].map(len).max() <= 4096
+    g2 = H.HnswGraph.from_rows(rows.sample(frac=1.0, random_state=1))
+    assert g2.search(q, 10, ef=64) == ref
