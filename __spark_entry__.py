@@ -449,6 +449,39 @@ def _engine_term_stats(spark, sf_dir):
     )
 
 
+def _engine_regexp_algebra_counts(spark, sf_dir):
+    """Regexp automaton algebra end-to-end (clt/util/automaton/
+    operations.rs:1-1042 — determinize / complement / intersect;
+    reg_exp.rs grammar): three RegexpQuery counts through the engine's
+    terms-dict expansion, each requiring the DFA path —
+    complement+intersection (~(s@)&@a@: not s-initial AND contains a),
+    intersection with bounded repeat ([a-z]{4,6}&@o@), and the
+    double-complement identity (~(~(batch)) == batch)."""
+    from lucene_rust_spark.entry_helpers import gate_searcher
+
+    s = gate_searcher(spark, sf_dir)
+    row = (
+        int(s.count({"type": "regexp", "pattern": "~(s@)&@a@"})),
+        int(s.count({"type": "regexp", "pattern": "[a-z]{4,6}&@o@"})),
+        int(s.count({"type": "regexp", "pattern": "~(~(batch))"})),
+    )
+    return spark.createDataFrame(
+        [row], "n_comp_inter long, n_inter_rep long, n_dbl_neg long"
+    )
+
+
+SQL_ENGINE_REGEXP_ALGEBRA_COUNTS = f"""
+{_TOKS_CTE}
+SELECT
+ (SELECT count(*) FROM tk WHERE len(list_filter(toks,
+   x -> NOT x LIKE 's%' AND x LIKE '%a%')) > 0)::BIGINT AS n_comp_inter,
+ (SELECT count(*) FROM tk WHERE len(list_filter(toks,
+   x -> regexp_full_match(x, '[a-z]{{4,6}}') AND x LIKE '%o%')) > 0)::BIGINT AS n_inter_rep,
+ (SELECT count(*) FROM tk
+   WHERE list_contains(toks, 'batch'))::BIGINT AS n_dbl_neg
+"""
+
+
 def _engine_delete_count(spark, sf_dir):
     """Tombstone live-docs view: delete every 'es' doc (metadata delete),
     then count 'merge' through the engine — validates the anti-join path
@@ -603,6 +636,10 @@ _ENGINE_QUERIES = {
         "FROM tk, unnest(toks) AS u(term) GROUP BY tk.doc_id, u.term) "
         "SELECT term, count(*)::BIGINT AS doc_freq, sum(tf)::BIGINT AS ttf "
         "FROM fl GROUP BY term ORDER BY doc_freq DESC, term ASC LIMIT 20",
+    ),
+    "engine_regexp_algebra": (
+        _engine_regexp_algebra_counts,
+        SQL_ENGINE_REGEXP_ALGEBRA_COUNTS,
     ),
     "engine_delete_count": (
         _engine_delete_count,

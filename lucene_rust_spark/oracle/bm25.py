@@ -130,6 +130,19 @@ def multi_phrase_query(slots, slop: int = 0) -> dict:
     return {"type": "multi_phrase", "slots": [list(s) for s in slots], "slop": int(slop)}
 
 
+def ngram_phrase_query(terms, n: int, slop: int = 0) -> dict:
+    """NGramPhraseQuery (clt/search/n_gram_phrase_query.rs): an exact
+    phrase over consecutive n-grams, optimized to consult only every
+    n-th gram plus the last; slop > 0 falls back to a standard
+    PhraseQuery over all grams (Lucene's rewrite contract)."""
+    return {
+        "type": "ngram_phrase",
+        "terms": list(terms),
+        "n": int(n),
+        "slop": int(slop),
+    }
+
+
 def synonym_query(terms) -> dict:
     """SynonymQuery (clt/search/mod.rs:145): terms scored as one
     pseudo-term with blended stats (df = max, freq = sum)."""

@@ -1,6 +1,7 @@
 """Lucene RegexpQuery grammar — clt/util/automaton/reg_exp.rs (the
 reference's transliteration of org.apache.lucene.util.automaton.RegExp;
-parser surface [stub], automaton ops clt/util/automaton/operations.rs:1-1042).
+parser surface [stub], automaton ops clt/util/automaton/operations.rs:1-1042
+— implemented here in search/automaton.py).
 
 Lucene's regexp syntax is NOT Python's. Differences this module pins
 (each covered by a divergence test in tests/test_regexp.py):
@@ -18,27 +19,29 @@ Lucene's regexp syntax is NOT Python's. Differences this module pins
   string — Python has no such operator.
 - ``"..."`` quotes a literal run (QUOTED flag, default-on).
 - ``~`` (complement), ``&`` (intersection), ``#`` (empty language) and
-  ``<m-n>`` (numeric interval) require automaton algebra this engine does
-  not implement — they are REJECTED with a clear error naming the
-  operator, never silently treated as literals.
+  ``<m-n>`` (numeric interval, leading zeros allowed) are full automaton
+  algebra: the parser emits an AST; patterns using only regex-expressible
+  operators compile to a Python pattern (fullmatch, DOTALL), while
+  ``~``/``&``/``#`` route through the char-range DFA in
+  search/automaton.py (Thompson NFA -> subset construction -> product /
+  complement), mirroring Lucene's operations.
 
-The parser is a recursive-descent over the published grammar
-(unionexp / interexp / concatexp / repeatexp / charclassexp / simpleexp)
-that emits an equivalent Python pattern, compiled with DOTALL and matched
-with ``fullmatch``. Membership testing stays a per-candidate function, so
-it plugs into the distributed terms-dict intersection kernel unchanged
+Precedence (loosest to tightest), per the published grammar:
+``|`` (union)  <  ``&`` (intersection)  <  concatenation  <
+postfix repeats  <  ``~`` (complement)  <  atoms.
+Membership testing stays a per-candidate function, so it plugs into the
+distributed terms-dict intersection kernel unchanged
 (search/rewrite.py match_candidates)."""
 
 from __future__ import annotations
 
 import re
 
-_UNSUPPORTED = {
-    "~": "complement (~) requires automaton complement",
-    "&": "intersection (&) requires automaton intersection",
-    "#": "the empty-language operator (#) is not supported",
-    "<": "numeric intervals (<m-n>) are not supported",
-}
+from lucene_rust_spark.search.automaton import (
+    MAX_CP,
+    compile_ast,
+    interval_ast,
+)
 
 
 class LuceneRegexpError(ValueError):
@@ -46,8 +49,8 @@ class LuceneRegexpError(ValueError):
 
 
 class _Parser:
-    """Recursive descent over Lucene's RegExp grammar, emitting a Python
-    regex string with identical anchored semantics."""
+    """Recursive descent over Lucene's RegExp grammar, emitting the
+    tuple-AST consumed by search/automaton.py."""
 
     def __init__(self, pattern: str):
         self.s = pattern
@@ -74,7 +77,7 @@ class _Parser:
 
     # -- grammar -------------------------------------------------------------
 
-    def parse(self) -> str:
+    def parse(self):
         out = self._union()
         if self.i != len(self.s):
             raise LuceneRegexpError(
@@ -82,26 +85,41 @@ class _Parser:
             )
         return out
 
-    def _union(self) -> str:
-        parts = [self._concat()]
+    def _union(self):
+        parts = [self._inter()]
         while self._peek() == "|":
             self._next()
+            parts.append(self._inter())
+        return parts[0] if len(parts) == 1 else ("union", parts)
+
+    def _inter(self):
+        parts = [self._concat()]
+        while self._peek() == "&":
+            self._next()
             parts.append(self._concat())
-        return "|".join(parts) if len(parts) > 1 else parts[0]
+        return parts[0] if len(parts) == 1 else ("inter", parts)
 
-    def _concat(self) -> str:
+    def _concat(self):
         parts = []
-        while self._peek() not in (None, "|", ")"):
+        while self._peek() not in (None, "|", "&", ")"):
             parts.append(self._repeat())
-        return "".join(parts)  # empty concat = the empty string
+        if not parts:
+            return ("eps",)
+        return parts[0] if len(parts) == 1 else ("concat", parts)
 
-    def _repeat(self) -> str:
-        atom = self._atom()
+    def _repeat(self):
+        atom = self._complexp()
         while True:
             c = self._peek()
-            if c in ("?", "*", "+"):
+            if c == "?":
                 self._next()
-                atom = f"(?:{atom}){c}"
+                atom = ("opt", atom)
+            elif c == "*":
+                self._next()
+                atom = ("star", atom)
+            elif c == "+":
+                self._next()
+                atom = ("plus", atom)
             elif c == "{":
                 save = self.i
                 self._next()
@@ -112,83 +130,106 @@ class _Parser:
                     raise LuceneRegexpError(
                         f"expected digit after '{{' at position {save} in {self.s!r}"
                     )
-                lo = digits
-                hi = None
+                lo = int(digits)
+                hi: int | None = lo
                 if self._peek() == ",":
                     self._next()
-                    hi = ""
+                    hs = ""
                     while self._peek() is not None and self._peek().isdigit():
-                        hi += self._next()
+                        hs += self._next()
+                    hi = int(hs) if hs else None
                 self._expect("}")
-                if hi is None:
-                    atom = f"(?:{atom}){{{lo}}}"
-                elif hi == "":
-                    atom = f"(?:{atom}){{{lo},}}"
-                else:
-                    if int(hi) < int(lo):
-                        raise LuceneRegexpError(
-                            f"invalid repetition range {{{lo},{hi}}} in {self.s!r}"
-                        )
-                    atom = f"(?:{atom}){{{lo},{hi}}}"
+                if hi is not None and hi < lo:
+                    raise LuceneRegexpError(
+                        f"invalid repetition range {{{lo},{hi}}} in {self.s!r}"
+                    )
+                atom = ("rep", atom, lo, hi)
             else:
                 return atom
 
-    def _atom(self) -> str:
+    def _complexp(self):
+        if self._peek() == "~":
+            self._next()
+            return ("not", self._complexp())
+        return self._atom()
+
+    def _atom(self):
         c = self._peek()
         if c is None:
             raise LuceneRegexpError(f"unexpected end of pattern: {self.s!r}")
-        if c in _UNSUPPORTED:
-            raise LuceneRegexpError(
-                f"unsupported Lucene regexp operator at position {self.i}: "
-                f"{_UNSUPPORTED[c]} (escape it as \\{c} to match the literal)"
-            )
         if c == "(":
             self._next()
             inner = self._union()
             self._expect(")")
-            return f"(?:{inner})"
+            return inner
         if c == "[":
             return self._char_class()
         if c == ".":
             self._next()
-            return "."  # compiled with DOTALL: any char incl. newline
+            return ("any",)
         if c == "@":
             self._next()
-            return ".*"  # ANYSTRING (default-on flag)
+            return ("star", ("any",))  # ANYSTRING (default-on flag)
+        if c == "#":
+            self._next()
+            return ("empty",)  # the empty LANGUAGE
+        if c == "<":
+            return self._interval()
         if c == '"':
             self._next()
-            lit = ""
+            chars = []
             while True:
                 q = self._next()
                 if q == '"':
                     break
-                lit += q
-            return re.escape(lit)
+                chars.append(("char", [(ord(q), ord(q))]))
+            return ("concat", chars) if chars else ("eps",)
         if c == "\\":
             self._next()
-            return re.escape(self._next())
-        if c in (")", "|", "?", "*", "+", "{", "}", "]"):
+            lit = self._next()
+            return ("char", [(ord(lit), ord(lit))])
+        if c in (")", "|", "&", "?", "*", "+", "{", "}", "]"):
             raise LuceneRegexpError(
                 f"unexpected {c!r} at position {self.i} in {self.s!r}"
             )
         # any other char is a literal — including ^ and $ (Python-special,
         # Lucene-literal)
         self._next()
-        return re.escape(c)
+        return ("char", [(ord(c), ord(c))])
 
-    def _char_class(self) -> str:
+    def _interval(self):
+        """``<m-n>`` numeric interval (Automata.makeDecimalInterval,
+        digits=0: leading zeros allowed). Anything else inside <> —
+        Lucene's named-automaton syntax — is unsupported and rejected."""
+        save = self.i
+        self._expect("<")
+        body = ""
+        while self._peek() not in (None, ">"):
+            body += self._next()
+        self._expect(">")
+        m = re.fullmatch(r"(\d+)-(\d+)", body)
+        if not m:
+            raise LuceneRegexpError(
+                f"unsupported <...> at position {save}: expected numeric "
+                f"interval <m-n>, got {body!r} (named automata need a provider)"
+            )
+        return interval_ast(int(m.group(1)), int(m.group(2)))
+
+    def _char_class(self):
         self._expect("[")
         negate = False
         if self._peek() == "^":
             self._next()
             negate = True
-        items = []
+        ranges: list[tuple[int, int]] = []
+        first = True
         while True:
             c = self._peek()
             if c is None:
                 raise LuceneRegexpError(f"unterminated character class in {self.s!r}")
-            if c == "]" and items:
+            if c == "]" and not first:
                 break
+            first = False
             c = self._next()
             if c == "\\":
                 c = self._next()
@@ -202,22 +243,115 @@ class _Parser:
                     raise LuceneRegexpError(
                         f"invalid class range {lo}-{hi} in {self.s!r}"
                     )
-                items.append(f"{_cls_escape(lo)}-{_cls_escape(hi)}")
+                ranges.append((ord(lo), ord(hi)))
             else:
-                items.append(_cls_escape(lo))
+                ranges.append((ord(lo), ord(lo)))
         self._expect("]")
-        return ("[^" if negate else "[") + "".join(items) + "]"
+        if negate:
+            ranges = _complement_ranges(ranges)
+            if not ranges:
+                return ("empty",)
+        return ("char", _merge_ranges(ranges))
+
+
+def _merge_ranges(ranges: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    out: list[tuple[int, int]] = []
+    for lo, hi in sorted(ranges):
+        if out and lo <= out[-1][1] + 1:
+            out[-1] = (out[-1][0], max(out[-1][1], hi))
+        else:
+            out.append((lo, hi))
+    return out
+
+
+def _complement_ranges(ranges: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    out: list[tuple[int, int]] = []
+    cur = 0
+    for lo, hi in _merge_ranges(ranges):
+        if lo > cur:
+            out.append((cur, lo - 1))
+        cur = max(cur, hi + 1)
+    if cur <= MAX_CP:
+        out.append((cur, MAX_CP))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# compilation: regex fast path / DFA algebra path
+# ---------------------------------------------------------------------------
+
+
+def _needs_dfa(ast) -> bool:
+    kind = ast[0]
+    if kind in ("not", "inter", "empty"):
+        return True
+    if kind in ("concat", "union"):
+        return any(_needs_dfa(p) for p in ast[1])
+    if kind in ("star", "plus", "opt"):
+        return _needs_dfa(ast[1])
+    if kind == "rep":
+        return _needs_dfa(ast[1])
+    return False
 
 
 def _cls_escape(c: str) -> str:
     return "\\" + c if c in r"\^]-[" else c
 
 
+def _ranges_to_py(ranges: list[tuple[int, int]]) -> str:
+    if len(ranges) == 1 and ranges[0][0] == ranges[0][1]:
+        return re.escape(chr(ranges[0][0]))
+    items = []
+    for lo, hi in ranges:
+        if lo == hi:
+            items.append(_cls_escape(chr(lo)))
+        else:
+            items.append(f"{_cls_escape(chr(lo))}-{_cls_escape(chr(hi))}")
+    return "[" + "".join(items) + "]"
+
+
+def _ast_to_py(ast) -> str:
+    kind = ast[0]
+    if kind == "char":
+        return _ranges_to_py(ast[1])
+    if kind == "any":
+        return "."  # compiled with DOTALL
+    if kind == "eps":
+        return ""
+    if kind == "concat":
+        return "".join(_ast_to_py(p) for p in ast[1])
+    if kind == "union":
+        return "(?:" + "|".join(_ast_to_py(p) for p in ast[1]) + ")"
+    if kind == "star":
+        return f"(?:{_ast_to_py(ast[1])})*"
+    if kind == "plus":
+        return f"(?:{_ast_to_py(ast[1])})+"
+    if kind == "opt":
+        return f"(?:{_ast_to_py(ast[1])})?"
+    if kind == "rep":
+        _, inner, m, n = ast
+        body = f"(?:{_ast_to_py(inner)})"
+        if n is None:
+            return f"{body}{{{m},}}"
+        if n == m:
+            return f"{body}{{{m}}}"
+        return f"{body}{{{m},{n}}}"
+    raise LuceneRegexpError(f"node {kind!r} has no regex form")
+
+
+def parse_lucene_regexp(pattern: str):
+    """Parse to the automaton AST (exposed for tests and planners)."""
+    return _Parser(pattern).parse()
+
+
 def compile_lucene_regexp(pattern: str):
     """Compile a Lucene-grammar regexp into a Python matcher with Lucene
     semantics: ``matcher(term) -> bool`` is True iff the automaton accepts
-    the WHOLE term. DOTALL makes ``.`` match newline; fullmatch pins the
-    anchoring exactly (no trailing-newline leniency)."""
-    py = _Parser(pattern).parse()
-    compiled = re.compile(py, re.DOTALL)
-    return compiled.fullmatch
+    the WHOLE term. Patterns without ``~``/``&``/``#`` compile to a
+    Python pattern (DOTALL + fullmatch — anchoring pinned exactly);
+    automaton-algebra patterns compile to a char-range DFA."""
+    ast = _Parser(pattern).parse()
+    if _needs_dfa(ast):
+        return compile_ast(ast)
+    compiled = re.compile(_ast_to_py(ast), re.DOTALL)
+    return lambda term, _fm=compiled.fullmatch: _fm(term) is not None

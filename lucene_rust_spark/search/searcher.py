@@ -57,6 +57,30 @@ FUSED_MAX_POSTINGS = 1_000_000
 DRIVER_EXEC_MAX_POSTINGS = 100_000  # small-query driver path (see search_df)
 
 
+def _ngram_keep(n_terms: int, n: int) -> list[int]:
+    """NGramPhraseQuery.rewrite's kept gram positions
+    (clt/search/n_gram_phrase_query.rs; Lucene NGramPhraseQuery): every
+    n-th gram plus the last — on an n-gram token stream the kept grams'
+    character overlap implies the dropped ones, so the match set is
+    unchanged with ~1/n of the postings consulted."""
+    if n <= 1:
+        return list(range(n_terms))
+    return [
+        i for i in range(n_terms) if i % n == 0 or i == n_terms - 1
+    ]
+
+
+def _normalize_ngram_phrase(query: dict) -> dict:
+    """Lucene only applies the n-gram optimization to EXACT phrases;
+    sloppy n-gram phrases rewrite to the standard PhraseQuery over all
+    grams (NGramPhraseQuery.rewrite returns `this` unoptimized)."""
+    if query.get("type") == "ngram_phrase" and int(query.get("slop", 0) or 0) > 0:
+        q = dict(query)
+        q["type"] = "phrase"
+        return q
+    return query
+
+
 def combine_bool_arrays(
     term_arrays: dict, must_set, should_set, mn_terms, msm, idf_map, sim
 ):
@@ -593,12 +617,27 @@ class IndexSearcher:
 
     @staticmethod
     def _phrase_slots(query: dict) -> list[list[str]]:
-        """Normalize phrase / multi_phrase ASTs to per-position term slots
-        (MultiPhraseQuery, clt/search/mod.rs:93 [stub]: alternative terms
-        per position)."""
+        """Normalize phrase / multi_phrase / ngram_phrase ASTs to
+        per-slot term lists (MultiPhraseQuery, clt/search/mod.rs:93
+        [stub]: alternative terms per position). ngram_phrase keeps only
+        every n-th gram plus the last (NGramPhraseQuery.rewrite,
+        clt/search/n_gram_phrase_query.rs analog) — valid on n-gram
+        token streams, where the kept grams' overlap implies the dropped
+        ones; slot offsets come from _phrase_offsets."""
         if query.get("type") == "multi_phrase":
             return [sorted(set(s)) for s in query["slots"]]
+        if query.get("type") == "ngram_phrase":
+            terms = query["terms"]
+            return [[terms[i]] for i in _ngram_keep(len(terms), int(query["n"]))]
         return [[t] for t in query["terms"]]
+
+    @staticmethod
+    def _phrase_offsets(query: dict, n_slots: int) -> list[int]:
+        """Per-slot position offsets: consecutive for phrase/multi_phrase,
+        the kept gram positions for ngram_phrase."""
+        if query.get("type") == "ngram_phrase":
+            return _ngram_keep(len(query["terms"]), int(query["n"]))
+        return list(range(n_slots))
 
     def _phrase_candidates_pos(self, slots: list[list[str]], stats: dict) -> DataFrame:
         """Candidate-filtered positions frame (term, doc_id, pos, dlq) for
@@ -703,23 +742,25 @@ class IndexSearcher:
         if any(not s for s in slots):
             return None
         pos = self._phrase_candidates_pos(slots, stats)
+        offs = self._phrase_offsets(query, len(slots))
         chain = (
             pos.filter(F.col("term").isin(slots[0]))
             .select("doc_id", F.col("pos").alias("p0"), "dlq")
             .distinct()
         )
         for i, s in enumerate(slots[1:], start=1):
+            o = offs[i]
             nxt = pos.filter(F.col("term").isin(s))
             if slop == 0:
-                nxt = nxt.select("doc_id", (F.col("pos") - i).alias("p0"))
+                nxt = nxt.select("doc_id", (F.col("pos") - o).alias("p0"))
             else:
                 # each position votes for every anchor within the slop
-                # window — turns the |p_i - p0 - i| <= slop band join into
+                # window — turns the |p_i - p0 - o| <= slop band join into
                 # a plain equi-join (slop is small; 2*slop+1 rows each)
                 nxt = nxt.select(
                     "doc_id",
                     F.explode(
-                        F.sequence(F.col("pos") - i - slop, F.col("pos") - i + slop)
+                        F.sequence(F.col("pos") - o - slop, F.col("pos") - o + slop)
                     ).alias("p0"),
                 )
             chain = chain.join(nxt, ["doc_id", "p0"], "left_semi")
@@ -736,7 +777,10 @@ class IndexSearcher:
         freq is the pinned displacement-window anchor count (integer);
         slop_mode='lucene' uses the exact SloppyPhraseScorer float freq
         (sum of 1/(1+matchLength), sloppy.py)."""
-        lucene_mode = query.get("slop_mode") == "lucene"
+        lucene_mode = (
+            query.get("slop_mode") == "lucene"
+            and query.get("type") != "ngram_phrase"
+        )
         freq = (
             self._phrase_freq_lucene(query) if lucene_mode else self._phrase_freq(query)
         )
@@ -952,7 +996,7 @@ class IndexSearcher:
             return self._matching_docs(sorted({c["term"] for c in query["terms"]}))
         if qt == "indri_and":
             return self._matching_docs(sorted(set(query["terms"])))
-        if qt in ("phrase", "multi_phrase"):
+        if qt in ("phrase", "multi_phrase", "ngram_phrase"):
             freq = (
                 self._phrase_freq_lucene(query)
                 if query.get("slop_mode") == "lucene"
@@ -1105,6 +1149,7 @@ class IndexSearcher:
         than PRUNE_MIN_POSTINGS postings (measured crossover; at 100-TB
         head-term df this is always on, at test scale always off).
         Rank-identity is proven by the on/off equivalence tests either way."""
+        query = _normalize_ngram_phrase(query)
         if query.get("type") == "boost":
             # BoostQuery (clt/search/mod.rs:14): multiply scores, float32.
             # search_after keys apply to the INNER (unboosted) scores —
@@ -1231,15 +1276,29 @@ class IndexSearcher:
         contains it (the skip-list seek — one block per term at any df)."""
         from collections import defaultdict
 
-        src = self.postings.filter(F.col("term").isin(list(terms)))
+        # hot path: ONE pre-selected DataFrame + ONE expr-string filter.
+        # Each py4j call costs ~0.7 ms of socket round-trip; the naive
+        # isin(...).select(6 cols) chain spends ~15 ms per query building
+        # the plan before the job even starts (r4 p50 regression).
+        if not hasattr(self, "_blocks_sel"):
+            self._blocks_sel = self.postings.select(
+                "term", "n", "first_doc", "last_doc",
+                "docs_bin", "tfs_bin", "dlq_bin",
+            )
+        if all(
+            t.isascii() and all(c.isalnum() or c in "_-." for c in t) for t in terms
+        ):
+            in_list = ",".join(f"'{t}'" for t in terms)
+            src = self._blocks_sel.filter(f"term IN ({in_list})")
+        else:
+            # terms outside the safe literal set: Column-based filter
+            # (slower plan build, injection-proof)
+            src = self._blocks_sel.filter(F.col("term").isin(list(terms)))
         if doc_id is not None:
             src = src.filter(
-                (F.col("first_doc") <= doc_id) & (F.col("last_doc") >= doc_id)
+                f"first_doc <= {int(doc_id)} AND last_doc >= {int(doc_id)}"
             )
-        rows = (
-            src.select("term", "n", "first_doc", "docs_bin", "tfs_bin", "dlq_bin")
-            .collect()
-        )
+        rows = src.collect()
         chunks = defaultdict(list)
         for r in rows:
             n = int(r["n"])
@@ -1354,12 +1413,16 @@ class IndexSearcher:
             return None
         slop = int(query.get("slop", 0) or 0)
         slots = self._phrase_slots(query)
+        slot_offs = self._phrase_offsets(query, len(slots))
         uniq = sorted({t for s in slots for t in s})
         stats = self.term_stats(uniq)
         slots = [[t for t in s if t in stats] for s in slots]
         if any(not s for s in slots):
             return []
-        lucene_mode = query.get("slop_mode") == "lucene"
+        lucene_mode = (
+            query.get("slop_mode") == "lucene"
+            and query.get("type") != "ngram_phrase"
+        )
         if lucene_mode:
             from lucene_rust_spark.search.sloppy import check_no_repeats
 
@@ -1369,11 +1432,17 @@ class IndexSearcher:
             return None
         if not self._driver_tomb_ready():
             return None
-        rows = (
-            self.postings.filter(F.col("term").isin(uniq))
-            .select("term", "n", "first_doc", "docs_bin", "tfs_bin", "dlq_bin", "pos_bin")
-            .collect()
-        )
+        if not hasattr(self, "_blocks_pos_sel"):
+            self._blocks_pos_sel = self.postings.select(
+                "term", "n", "first_doc", "docs_bin", "tfs_bin", "dlq_bin", "pos_bin"
+            )
+        if all(
+            t.isascii() and all(c.isalnum() or c in "_-." for c in t) for t in uniq
+        ):
+            in_list = ",".join(f"'{t}'" for t in uniq)
+            rows = self._blocks_pos_sel.filter(f"term IN ({in_list})").collect()
+        else:
+            rows = self._blocks_pos_sel.filter(F.col("term").isin(uniq)).collect()
         # term -> {doc: positions array}; doc -> dlq
         term_pos: dict[str, dict] = {t: {} for t in uniq}
         doc_dlq: dict[int, int] = {}
@@ -1420,15 +1489,15 @@ class IndexSearcher:
             ]
             if lucene_mode:
                 freq = lucene_sloppy_freq(
-                    [a - off for off, a in enumerate(pos_by_slot)], slop
+                    [a - off for off, a in zip(slot_offs, pos_by_slot)], slop
                 )
             else:
                 sets = [set(a.tolist()) for a in pos_by_slot]
                 freq = 0
                 for p0 in sorted(sets[0]):
                     if all(
-                        any(abs(p - (p0 + off)) <= slop for p in sets[off])
-                        for off in range(1, len(sets))
+                        any(abs(p - (p0 + slot_offs[i])) <= slop for p in sets[i])
+                        for i in range(1, len(sets))
                     ):
                         freq += 1
             if freq:
@@ -1465,6 +1534,7 @@ class IndexSearcher:
 
     def _driver_search_rows(self, query: dict, k, search_after, prune) -> list | None:
         """[(doc_id, score_f32)] top-k via the driver path, or None."""
+        query = _normalize_ngram_phrase(query)
         qt = query.get("type")
         if qt == "synonym":
             return self._driver_synonym_rows(query, k, search_after)
@@ -1472,7 +1542,7 @@ class IndexSearcher:
             return self._driver_dismax_rows(query, k, search_after)
         if qt == "blended":
             return self._driver_blended_rows(query, k, search_after)
-        if qt in ("phrase", "multi_phrase"):
+        if qt in ("phrase", "multi_phrase", "ngram_phrase"):
             return self._driver_phrase_rows(query, k, search_after)
         if qt == "fuzzy":
             # scoring rewrite first, then the bool driver path
@@ -1561,7 +1631,7 @@ class IndexSearcher:
             return self._indri_and_hits(query)
         if qt == "synonym":
             return self._synonym_hits(query)
-        if qt in ("phrase", "multi_phrase"):
+        if qt in ("phrase", "multi_phrase", "ngram_phrase"):
             return self._phrase_hits(query)
 
         must, should, must_not, msm = query_terms(query)
@@ -1676,13 +1746,40 @@ class IndexSearcher:
         DataFrame at all (no local-collect job)."""
         if query.get("type") in (
             "term", "bool", "synonym", "dismax", "blended", "phrase",
-            "multi_phrase", "fuzzy"
+            "multi_phrase", "ngram_phrase", "fuzzy"
         ) or query.get("type") in CONSTANT_SCORE_TYPES:
             rows = self._driver_search_rows(query, k, search_after, prune)
             if rows is not None:
                 return rows
         rows = self.search_df(query, k, search_after, prune).collect()
         return [(int(r["doc_id"]), float(np.float32(r["score"]))) for r in rows]
+
+    def search_timed(
+        self,
+        query: dict,
+        k: int = 10,
+        *,
+        timeout_ms: float,
+        search_after: tuple | None = None,
+        prune: bool | None = None,
+        greedy: bool = False,
+    ):
+        """TimeLimitingCollector analog (clt/search/
+        time_limiting_collector.rs, time_limiting_bulk_scorer.rs): run
+        the search under a wall-clock budget; every Spark job the query
+        launches runs in a one-shot job group that is CANCELLED
+        cluster-wide on overrun, and TimeExceededException raises to the
+        caller. greedy=True returns a completed-but-late result instead
+        of discarding it (Lucene's greedy collector)."""
+        from lucene_rust_spark.search.timelimit import run_with_time_budget
+
+        return run_with_time_budget(
+            self.spark,
+            lambda: self.search(query, k, search_after, prune),
+            timeout_ms,
+            description=f"search {query.get('type')}",
+            greedy=greedy,
+        )
 
     def search_by_field(self, query: dict, sort: list[dict], k: int = 10) -> DataFrame:
         """TopFieldCollector (clt/search/mod.rs:157; comparators
@@ -1833,12 +1930,13 @@ class IndexSearcher:
         over the unscored matching doc set — no scoring, no global sort.
         Small term/bool queries count on the driver (same crossover as
         search: one blocks collect instead of decode + aggregate jobs)."""
+        query = _normalize_ngram_phrase(query)
         qt = query.get("type")
         if qt in ("term", "bool"):
             m = self._driver_match(query, prune=None)
             if m is not None:
                 return int(len(m[0]))
-        elif qt in ("phrase", "multi_phrase"):
+        elif qt in ("phrase", "multi_phrase", "ngram_phrase"):
             rows = self._driver_phrase_rows(query, self.doc_count, None)
             if rows is not None:
                 return len(rows)

@@ -461,3 +461,61 @@ def test_explain(searcher):
     if only_window:
         ex = searcher.explain(q, only_window[0][0])
         assert ex["match"] is False and "MUST terms" in ex["reason"]
+
+
+def test_ngram_phrase_query(spark, tmp_path_factory):
+    """NGramPhraseQuery (clt/search/n_gram_phrase_query.rs): over an
+    n-gram token stream, the optimized phrase (every n-th gram + last)
+    must produce the SAME match set as the full PhraseQuery while
+    consulting fewer terms; slop > 0 falls back to the standard phrase."""
+    import pandas as pd
+
+    from lucene_rust_spark.index.build import build_index
+    from lucene_rust_spark.oracle.bm25 import ngram_phrase_query, phrase_query
+    from lucene_rust_spark.search.searcher import IndexSearcher, _ngram_keep
+
+    def grams(s, n=3):
+        return [s[i : i + n] for i in range(len(s) - n + 1)]
+
+    words = [
+        "sparkline", "sparkplug", "sparse", "parquet", "partition",
+        "sharkfin", "parkway", "sparking", "spartan", "linespark",
+    ]
+    rows = [
+        {
+            "repo": "r", "path": f"doc/{i}", "commit": str(i),
+            "lang": "en", "content": " ".join(grams(w)),
+        }
+        for i, w in enumerate(words)
+    ]
+    out = str(tmp_path_factory.mktemp("ngram") / "idx")
+    build_index(
+        spark, spark.createDataFrame(pd.DataFrame(rows)), out,
+        num_partitions=2, positions=True,
+    )
+    s = IndexSearcher(spark, out, cache=True)
+
+    for probe in ["spark", "park", "parti", "sparkl", "zzzzz"]:
+        g = grams(probe)
+        full = s.search(phrase_query(g), 20)
+        opt = s.search(ngram_phrase_query(g, 3), 20)
+        assert [d for d, _ in opt] == [d for d, _ in full], probe
+        # fewer slots actually consulted (the optimization is real)
+        if len(g) > 2:
+            assert len(_ngram_keep(len(g), 3)) < len(g)
+        # sloppy falls back to the full phrase — identical scores too
+        assert s.search(ngram_phrase_query(g, 3, slop=1), 20) == s.search(
+            phrase_query(g, slop=1), 20
+        ), probe
+
+    # count path agrees with the search path
+    g = grams("spark")
+    assert s.count(ngram_phrase_query(g, 3)) == len(s.search(phrase_query(g), 20))
+
+    # distributed path parity (force off the driver fast path)
+    s.DRIVER_EXEC_MAX_POSTINGS = 0
+    g = grams("parti")
+    dist = s.search(ngram_phrase_query(g, 3), 20)
+    s.DRIVER_EXEC_MAX_POSTINGS = IndexSearcher.DRIVER_EXEC_MAX_POSTINGS
+    drv = s.search(ngram_phrase_query(g, 3), 20)
+    assert [d for d, _ in dist] == [d for d, _ in drv]

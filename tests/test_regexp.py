@@ -80,11 +80,66 @@ def test_escapes():
     assert m("\\\\", "\\")
 
 
-def test_unsupported_operators_rejected_clearly():
-    for pat, op in [("~abc", "~"), ("a&b", "&"), ("#", "#"), ("<1-5>", "<")]:
-        with pytest.raises(LuceneRegexpError) as e:
-            m(pat, "x")
-        assert op in str(e.value) or "interval" in str(e.value)
+def test_complement():
+    """~ (COMPLEMENT) binds to ONE complexp atom per the published
+    grammar: ``~abc`` is (~a)·b·c, NOT ~(abc) — the whole-term form
+    needs parens. A classic Lucene-semantics trap worth pinning."""
+    # ~abc == (~a)bc: any X != "a" followed by literal "bc"
+    assert m("~abc", "xbc") and m("~abc", "bc") and m("~abc", "aabc")
+    assert not m("~abc", "abc") and not m("~abc", "abd")
+    # whole-term complement via parens
+    assert m("~(abc)", "abd") and m("~(abc)", "") and m("~(abc)", "abcc")
+    assert not m("~(abc)", "abc")
+    # complement composes under concat/union via the DFA path
+    assert m("a(~b)", "ac") and m("a(~b)", "abb") and not m("a(~b)", "ab")
+    assert m("~(ab|cd)", "ab cd") and not m("~(ab|cd)", "cd")
+    # double complement is identity
+    assert m("~(~(ab))", "ab") and not m("~(~(ab))", "ba")
+
+
+def test_intersection():
+    """& (INTERSECTION): both operands must accept the whole term; binds
+    tighter than | and looser than concat."""
+    assert m("[ab]*&.*a.*", "aba") and not m("[ab]*&.*a.*", "bbb")
+    assert not m("[ab]*&.*a.*", "cat")
+    # a|b&c parses as a|(b&c)
+    assert m("ab|ab&ab", "ab")
+    assert m("x|a&b", "x") and not m("x|a&b", "a")
+    # intersection with complement: [ab]* minus strings containing aa
+    pat = "[ab]*&~(@aa@)"
+    assert m(pat, "abab") and not m(pat, "baab")
+
+
+def test_empty_language():
+    """# (EMPTY): matches no string at all."""
+    assert not m("#", "") and not m("#", "x")
+    assert not m("a#", "a") and not m("a#b", "ab")
+    assert m("a|#", "a") and not m("a|#", "")
+    # complement of empty language is ANYSTRING
+    assert m("~#", "") and m("~#", "anything at all")
+
+
+def test_numeric_interval():
+    """<m-n> (INTERVAL): decimal value in range, leading zeros allowed
+    (Automata.makeDecimalInterval digits=0)."""
+    assert m("<1-100>", "1") and m("<1-100>", "42") and m("<1-100>", "100")
+    assert not m("<1-100>", "0") and not m("<1-100>", "101")
+    assert m("<1-100>", "007") and m("<1-100>", "0100")
+    assert not m("<1-100>", "") and not m("<1-100>", "x7")
+    assert m("<5-5>", "5") and not m("<5-5>", "6")
+    assert m("<0-3>", "0") and m("<0-3>", "000")
+    # composes with the rest of the grammar
+    assert m("v<10-12>", "v11") and not m("v<10-12>", "v13")
+    # boundary of unequal digit counts
+    assert m("<97-103>", "99") and m("<97-103>", "103") and not m("<97-103>", "104")
+    # reversed bounds normalize (Lucene swaps min/max)
+    assert m("<100-1>", "42")
+
+
+def test_named_automaton_rejected_clearly():
+    with pytest.raises(LuceneRegexpError) as e:
+        m("<mytokens>", "x")
+    assert "interval" in str(e.value)
 
 
 def test_empty_and_group_edge_cases():
