@@ -730,7 +730,7 @@ def _hnsw_gate_index(spark, sf_dir):
 
     e = _emb(spark, sf_dir).select(F.col("vec_id").alias("id"), "embedding")
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    idx = f"/tmp/lrs_hnsw_gate/{key}_v2"
+    idx = f"/tmp/lrs_hnsw_gate/{key}_v3"
     if not os.path.exists(os.path.join(idx, "_SUCCESS")):
         build_hnsw_index(e.filter(F.col("id") != 0), idx, n_shards=4)
     qv = e.filter(F.col("id") == 0).first()["embedding"]

@@ -11,12 +11,14 @@ shard's graph is built INSIDE one applyInPandas task (graph construction
 is inherently sequential per segment — exactly Lucene's per-segment
 writer) and serialized as CHUNKED numpy rows (vectors / ids / levels /
 layer-0 fixed-width links / upper-layer CSR), each row <= ~32 MB — a
-shard is NOT capped by Spark's ~2 GB single-cell ceiling. A query
-mapInPandas-scans the shard rows (reassembling chunks per shard inside
-the task), beam-searches each graph, and the per-shard candidates merge
-through a TakeOrderedAndProject — query fan-out, not construction, is
-what scales with the corpus, matching how Lucene searches one graph per
-segment and merges.
+shard is NOT capped by Spark's ~2 GB single-cell ceiling — written
+PARTITIONED BY SHARD. A query fans one tiny task out per shard; each
+task OPENS its shard's parquet from shared storage (pyarrow) and keeps
+the deserialized graph in a bounded per-worker cache, so repeat queries
+move zero index bytes — the executor-opens-its-segment / pinned-reader
+model. Per-shard candidates merge through a TakeOrderedAndProject —
+query fan-out, not construction, is what scales with the corpus,
+matching how Lucene searches one graph per segment and merges.
 
 The in-memory graph is a compact numpy HNSW: hierarchical layers with
 exponential level assignment, greedy descent over upper layers, ef-beam
@@ -172,12 +174,20 @@ class HnswGraph:
         V = self.vecs[nodes]
         S = V @ V.T
         sel: list[int] = []
+        skipped: list[int] = []
         for i in range(len(nodes)):
             if len(sel) >= m:
                 break
             if sel and bool((S[i, sel] >= simsq[i]).any()):
+                skipped.append(i)
                 continue
             sel.append(i)
+        if len(sel) < m and skipped:
+            # keepPrunedConnections: backfill with the best skipped
+            # candidates — without this, dense clusters yield under-linked
+            # nodes and recall collapses at scale
+            sel.extend(skipped[: m - len(sel)])
+            sel.sort()
         return [int(nodes[i]) for i in sel]
 
     def _link_back(self, nb: int, node: int, layer: int, mmax: int) -> None:
@@ -189,7 +199,10 @@ class HnswGraph:
             else:
                 self.upper[layer - 1][nb] = np.append(cur, np.int32(node))
             return
-        # prune to the mmax closest of nb (one mat-vec)
+        # prune to the mmax closest of nb (one mat-vec). Measured: the
+        # full diversity-heuristic shrink here costs 1.75x build time for
+        # +0.006 recall on random 64-d data — keep-closest is the right
+        # trade for the overflow path (selection keeps the heuristic)
         cand = np.append(cur, np.int32(node))
         sims = self.vecs[cand] @ self.vecs[nb]
         keep = cand[np.argsort(-sims, kind="stable")[:mmax]]
@@ -418,10 +431,15 @@ def build_hnsw_index(
     ef_construction: int = 100,
 ) -> None:
     """Build per-shard graphs (shard = xxhash64(id) % n_shards — the
-    segment router) and persist chunked rows per shard. Construction
+    segment router) and persist chunked rows PARTITIONED BY SHARD, plus a
+    driver-side _hnsw_meta.json (shard list + build id). Construction
     parallelism = n_shards tasks; each task's memory holds only its
     shard's vectors + links, which is the per-segment bound Lucene's
-    HNSW writer has."""
+    HNSW writer has. The partitioned layout lets a query task open ONLY
+    its shard's files (the executor-opens-its-segment model) instead of
+    shuffling every chunk row per query."""
+    import uuid
+
     routed = emb.withColumn(
         "shard", F.pmod(F.xxhash64("id"), F.lit(n_shards)).cast("int")
     ).repartition(n_shards, "shard")
@@ -446,20 +464,60 @@ def build_hnsw_index(
                 columns=["shard", "kind", "part", "meta", "payload"],
             )
 
-    routed.mapInPandas(build, schema=_ROWS_SCHEMA).write.mode(
-        "overwrite"
-    ).parquet(out_dir)
+    out = routed.mapInPandas(build, schema=_ROWS_SCHEMA)
+    out.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+    spark = emb.sparkSession
+    shards = [
+        int(r["shard"])
+        for r in spark.read.parquet(out_dir).select("shard").distinct().collect()
+    ]
+    meta = {"shards": sorted(shards), "build_id": uuid.uuid4().hex}
+    with open(_meta_path(out_dir), "w") as f:
+        json.dump(meta, f)
 
 
-def _shards_from_batches(batches):
-    """Group an arrow-batch iterator's rows by shard (a shard's chunk rows
-    can split across pdf batches within one partition)."""
-    by_shard: dict[int, list] = {}
-    for pdf in batches:
-        for sh, grp in pdf.groupby("shard"):
-            by_shard.setdefault(int(sh), []).append(grp)
-    for sh, parts in by_shard.items():
-        yield sh, pd.concat(parts)
+def _meta_path(out_dir: str) -> str:
+    import os
+
+    return os.path.join(out_dir, "_hnsw_meta.json")
+
+
+def _read_index_meta(spark, out_dir: str) -> dict:
+    import os
+
+    p = _meta_path(out_dir)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    # fallback (e.g. meta lost in a copy): derive shards, synthesize id
+    shards = [
+        int(r["shard"])
+        for r in spark.read.parquet(out_dir).select("shard").distinct().collect()
+    ]
+    return {"shards": sorted(shards), "build_id": f"derived:{out_dir}"}
+
+
+# per-worker deserialized-graph cache (pyspark reuses python workers
+# across queries: this is the "reader pinned in executor memory" model —
+# Lucene opens a segment reader once and serves every query from it).
+# Keyed by (index_dir, shard, build_id) so a rebuilt index misses;
+# bounded LRU.
+_GRAPH_CACHE: dict = {}
+_GRAPH_CACHE_MAX = 4
+
+
+def _graph_for_shard(index_dir: str, sh: int, build_id: str) -> HnswGraph:
+    key = (index_dir, int(sh), build_id)
+    g = _GRAPH_CACHE.get(key)
+    if g is None:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(f"{index_dir}/shard={int(sh)}")
+        g = HnswGraph.from_rows(tbl.to_pandas())
+        if len(_GRAPH_CACHE) >= _GRAPH_CACHE_MAX:
+            _GRAPH_CACHE.pop(next(iter(_GRAPH_CACHE)))
+        _GRAPH_CACHE[key] = g
+    return g
 
 
 def hnsw_topk(
@@ -502,37 +560,48 @@ def hnsw_topk(
         else:
             allowed_arr = np.sort(np.asarray(list(filter_ids), dtype=np.int64))
 
-    def probe(batches, _q=q, _k=k, _ef=ef, _allow=allowed_arr):
-        qv = np.asarray(_q, dtype=np.float32)
-        for _sh, rows in _shards_from_batches(batches):
-            g = HnswGraph.from_rows(rows)
-            if _allow is not None:
-                mask = np.zeros(g.n, dtype=bool)
-                pos = np.searchsorted(_allow, g.ids[: g.n])
-                pos = np.minimum(pos, len(_allow) - 1)
-                mask[np.flatnonzero(_allow[pos] == g.ids[: g.n])] = True
-                n_allowed = int(mask.sum())
-                if n_allowed == 0:
-                    continue
-                if n_allowed < exact_cutoff * g.n:
-                    hits = g.search_exact(qv, _k, allowed=mask)
-                else:
-                    hits = g.search(
-                        qv, _k, _ef, allowed=mask,
-                        visited_limit=max(int(visited_limit_frac * g.n), 64),
-                    )
-            else:
-                hits = g.search(qv, _k, _ef)
-            if hits:
-                yield pd.DataFrame(
-                    {"id": [h[0] for h in hits], "cos": [h[1] for h in hits]}
-                )
+    meta = _read_index_meta(spark, index_dir)
+    shards, build_id = meta["shards"], meta["build_id"]
 
-    blobs = spark.read.parquet(index_dir)
-    n_shards = blobs.agg(F.countDistinct("shard")).first()[0] or 1
+    def probe(batches, _q=q, _k=k, _ef=ef, _allow=allowed_arr,
+              _dir=index_dir, _bid=build_id):
+        qv = np.asarray(_q, dtype=np.float32)
+        for pdf in batches:
+            for sh in pdf["shard"].tolist():
+                # each task OPENS its shard from shared storage (pyarrow)
+                # and caches the deserialized graph across queries — no
+                # per-query shuffle of index bytes
+                g = _graph_for_shard(_dir, int(sh), _bid)
+                if _allow is not None:
+                    mask = np.zeros(g.n, dtype=bool)
+                    pos = np.searchsorted(_allow, g.ids[: g.n])
+                    pos = np.minimum(pos, len(_allow) - 1)
+                    mask[np.flatnonzero(_allow[pos] == g.ids[: g.n])] = True
+                    n_allowed = int(mask.sum())
+                    if n_allowed == 0:
+                        continue
+                    if n_allowed < exact_cutoff * g.n:
+                        hits = g.search_exact(qv, _k, allowed=mask)
+                    else:
+                        hits = g.search(
+                            qv, _k, _ef, allowed=mask,
+                            visited_limit=max(int(visited_limit_frac * g.n), 64),
+                        )
+                else:
+                    hits = g.search(qv, _k, _ef)
+                if hits:
+                    yield pd.DataFrame(
+                        {"id": [h[0] for h in hits], "cos": [h[1] for h in hits]}
+                    )
+
+    # one slice per shard via parallelize: no shuffle stage — the whole
+    # query is one wave of shard tasks feeding a TakeOrderedAndProject
+    rdd = spark.sparkContext.parallelize(
+        [(int(s),) for s in shards], max(len(shards), 1)
+    )
+    tasks = spark.createDataFrame(rdd, "shard int")
     return (
-        blobs.repartition(int(n_shards), "shard")
-        .mapInPandas(probe, schema="id long, cos double")
+        tasks.mapInPandas(probe, schema="id long, cos double")
         .orderBy(F.desc("cos"), F.asc("id"))
         .limit(k)
     )

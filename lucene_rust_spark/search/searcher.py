@@ -1781,7 +1781,9 @@ class IndexSearcher:
             greedy=greedy,
         )
 
-    def search_by_field(self, query: dict, sort: list[dict], k: int = 10) -> DataFrame:
+    def search_by_field(
+        self, query: dict, sort: list[dict], k: int = 10, hits: DataFrame | None = None
+    ) -> DataFrame:
         """TopFieldCollector (clt/search/mod.rs:157; comparators
         clt/search/field_comparator.rs; SortField semantics
         core/src/search/sort.rs:130-205): top-k of the matching docs
@@ -1806,7 +1808,11 @@ class IndexSearcher:
         if not specs:
             raise ValueError("sort must name at least one field")
         need_score = any(s["field"] == "_score" for s in specs)
-        if need_score:
+        if hits is not None:
+            # replay path (CachingCollector / MultiCollector): a scored
+            # frame from the same query — reuse instead of re-scoring
+            hits = self._drop_deleted(hits)
+        elif need_score:
             hits = self._drop_deleted(self.hits_df(query, k, prune=False))
         else:
             hits = self.matching_docs_df(query)
