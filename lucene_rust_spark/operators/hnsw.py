@@ -61,7 +61,17 @@ class HnswGraph:
     hops score every neighbor of the popped node with ONE mat-vec.
     """
 
-    def __init__(self, dim: int, m: int = 16, ef_construction: int = 100, seed: int = 42):
+    def __init__(
+        self,
+        dim: int,
+        m: int = 16,
+        ef_construction: int = 100,
+        seed: int = 42,
+        dtype: str = "float32",
+    ):
+        if dtype not in ("float32", "int8"):
+            raise ValueError(f"dtype must be float32 or int8, got {dtype!r}")
+        self.dtype = dtype
         self.dim = dim
         self.m = m
         self.m0 = 2 * m  # layer-0 degree bound (Lucene/HNSW convention)
@@ -70,7 +80,14 @@ class HnswGraph:
         self.rng = np.random.default_rng(seed)
         self.n = 0
         self._cap = 0
-        self.vecs = np.zeros((0, dim), dtype=np.float32)
+        self.vecs = np.zeros(
+            (0, dim), dtype=np.float32 if dtype == "float32" else np.int8
+        )
+        # int8 mode (KnnByteVectorQuery, clt/search/knn_byte_vector_query.rs
+        # [stub]): vectors stay RAW int8 (4x memory/IO of float32) and the
+        # per-node inverse norm turns dot products into cosines at score
+        # time; float32 mode pre-normalizes and needs no inv_norm
+        self.inv_norm = np.zeros(0, dtype=np.float32)
         self.ids = np.zeros(0, dtype=np.int64)
         self.levels = np.zeros(0, dtype=np.int32)
         self.link0 = np.zeros((0, self.m0), dtype=np.int32)
@@ -95,7 +112,10 @@ class HnswGraph:
             new = np.zeros((cap, width), dtype=old.dtype)
             new[: self.n] = old[: self.n]
             setattr(self, name, new)
-        for name in ("ids", "levels", "cnt0"):
+        names = ["ids", "levels", "cnt0"]
+        if self.dtype == "int8":
+            names.append("inv_norm")
+        for name in names:
             old = getattr(self, name)
             new = np.zeros(cap, dtype=old.dtype)
             new[: self.n] = old[: self.n]
@@ -103,13 +123,20 @@ class HnswGraph:
         self._cap = cap
 
     def add_batch(self, ids: np.ndarray, vecs: np.ndarray) -> None:
-        vecs = np.asarray(vecs, dtype=np.float32)
-        norms = np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
-        vecs = vecs / norms
         k = len(ids)
         self._grow(k)
         base = self.n
-        self.vecs[base : base + k] = vecs
+        if self.dtype == "int8":
+            v8 = np.asarray(vecs, dtype=np.int8)
+            norms = np.maximum(
+                np.linalg.norm(v8.astype(np.float32), axis=1), 1e-12
+            )
+            self.vecs[base : base + k] = v8
+            self.inv_norm[base : base + k] = (1.0 / norms).astype(np.float32)
+        else:
+            vf = np.asarray(vecs, dtype=np.float32)
+            norms = np.maximum(np.linalg.norm(vf, axis=1, keepdims=True), 1e-12)
+            self.vecs[base : base + k] = vf / norms
         self.ids[base : base + k] = np.asarray(ids, dtype=np.int64)
         # draw all levels up front (one RNG call, reproducible)
         lv = (-np.log(np.maximum(self.rng.random(k), 1e-12)) * self.ml).astype(
@@ -119,6 +146,23 @@ class HnswGraph:
         for i in range(k):
             self.n = base + i + 1
             self._insert(base + i)
+
+    def _qsims(self, idx: np.ndarray, q: np.ndarray) -> np.ndarray:
+        """Cosines of stored nodes `idx` vs the UNIT float32 query."""
+        if self.dtype == "int8":
+            return (self.vecs[idx].astype(np.float32) @ q) * self.inv_norm[idx]
+        return self.vecs[idx] @ q
+
+    def _unit_vec(self, node: int) -> np.ndarray:
+        """Node vector as a unit float32 vector (query form)."""
+        if self.dtype == "int8":
+            return self.vecs[node].astype(np.float32) * self.inv_norm[node]
+        return self.vecs[node]
+
+    def _unit_rows(self, nodes: np.ndarray) -> np.ndarray:
+        if self.dtype == "int8":
+            return self.vecs[nodes].astype(np.float32) * self.inv_norm[nodes][:, None]
+        return self.vecs[nodes]
 
     def _neighbors(self, node: int, layer: int) -> np.ndarray:
         if layer == 0:
@@ -143,7 +187,7 @@ class HnswGraph:
             self.entry, self.max_level = node, level
             self._set_neighbors(node, 0, _EMPTY_I32)
             return
-        q = self.vecs[node]
+        q = self._unit_vec(node)
         ep = self.entry
         for lc in range(self.max_level, level, -1):
             ep = self._greedy(q, ep, lc)
@@ -171,7 +215,7 @@ class HnswGraph:
         order = sorted(cand, reverse=True)
         nodes = np.fromiter((c for _, c in order), dtype=np.int64, count=len(order))
         simsq = np.fromiter((s for s, _ in order), dtype=np.float32, count=len(order))
-        V = self.vecs[nodes]
+        V = self._unit_rows(nodes)
         S = V @ V.T
         sel: list[int] = []
         skipped: list[int] = []
@@ -204,18 +248,18 @@ class HnswGraph:
         # +0.006 recall on random 64-d data — keep-closest is the right
         # trade for the overflow path (selection keeps the heuristic)
         cand = np.append(cur, np.int32(node))
-        sims = self.vecs[cand] @ self.vecs[nb]
+        sims = self._qsims(cand, self._unit_vec(nb))
         keep = cand[np.argsort(-sims, kind="stable")[:mmax]]
         self._set_neighbors(nb, layer, keep)
 
     def _greedy(self, q: np.ndarray, ep: int, layer: int) -> int:
         cur = ep
-        cur_d = float(q @ self.vecs[ep])
+        cur_d = float(q @ self._unit_vec(ep))
         while True:
             nbrs = self._neighbors(cur, layer)
             if len(nbrs) == 0:
                 return cur
-            sims = self.vecs[nbrs] @ q
+            sims = self._qsims(nbrs, q)
             j = int(np.argmax(sims))
             if sims[j] <= cur_d:
                 return cur
@@ -246,7 +290,7 @@ class HnswGraph:
         n_visited = len(eps)
         eps_arr = np.asarray(eps, dtype=np.int64)
         vis[eps_arr] = gen
-        sims0 = self.vecs[eps_arr] @ q
+        sims0 = self._qsims(eps_arr, q)
         cand = [(-float(s), int(e)) for s, e in zip(sims0, eps)]
         heapq.heapify(cand)
         best = [
@@ -273,7 +317,7 @@ class HnswGraph:
             n_visited += len(fresh)
             if visited_limit is not None and n_visited > visited_limit:
                 raise _VisitedLimit()
-            sims = self.vecs[fresh] @ q
+            sims = self._qsims(fresh, q)
             if len(best) >= ef:
                 # numpy-prune against the current worst kept sim: stale
                 # within the batch (a superset of the exact rule) but it
@@ -335,7 +379,7 @@ class HnswGraph:
             idx = np.arange(self.n)
         if len(idx) == 0:
             return []
-        sims = self.vecs[idx] @ q
+        sims = self._qsims(idx, q)
         kk = min(k, len(idx))
         top = np.argpartition(-sims, kk - 1)[:kk]
         top = top[np.argsort(-sims[top], kind="stable")]
@@ -351,16 +395,19 @@ class HnswGraph:
         meta = {
             "dim": self.dim, "m": self.m, "ef_c": self.ef_c, "n": int(n),
             "entry": int(self.entry), "max_level": int(self.max_level),
-            "n_upper": len(self.upper),
+            "n_upper": len(self.upper), "dtype": self.dtype,
         }
         rows.append((shard, "meta", 0, json.dumps(meta), b""))
-        for kind, arr in (
+        arrays = [
             ("vecs", np.ascontiguousarray(self.vecs[:n])),
             ("ids", np.ascontiguousarray(self.ids[:n])),
             ("levels", np.ascontiguousarray(self.levels[:n])),
             ("link0", np.ascontiguousarray(self.link0[:n])),
             ("cnt0", np.ascontiguousarray(self.cnt0[:n])),
-        ):
+        ]
+        if self.dtype == "int8":
+            arrays.append(("inorm", np.ascontiguousarray(self.inv_norm[:n])))
+        for kind, arr in arrays:
             raw = arr.tobytes()
             for part, off in enumerate(range(0, max(len(raw), 1), CHUNK_BYTES)):
                 rows.append((shard, kind, part, "", raw[off : off + CHUNK_BYTES]))
@@ -395,10 +442,14 @@ class HnswGraph:
             sel = rows[rows["kind"] == kind].sort_values("part")
             return b"".join(bytes(b) for b in sel["payload"])
 
-        g = cls(meta["dim"], meta["m"], meta["ef_c"])
+        dtype = meta.get("dtype", "float32")
+        g = cls(meta["dim"], meta["m"], meta["ef_c"], dtype=dtype)
         n = meta["n"]
         g.n = g._cap = n
-        g.vecs = np.frombuffer(blob("vecs"), dtype=np.float32).reshape(n, meta["dim"]).copy()
+        vdt = np.float32 if dtype == "float32" else np.int8
+        g.vecs = np.frombuffer(blob("vecs"), dtype=vdt).reshape(n, meta["dim"]).copy()
+        if dtype == "int8":
+            g.inv_norm = np.frombuffer(blob("inorm"), dtype=np.float32).copy()
         g.ids = np.frombuffer(blob("ids"), dtype=np.int64).copy()
         g.levels = np.frombuffer(blob("levels"), dtype=np.int32).copy()
         g.link0 = np.frombuffer(blob("link0"), dtype=np.int32).reshape(n, g.m0).copy()
@@ -429,6 +480,7 @@ def build_hnsw_index(
     n_shards: int = 8,
     m: int = 16,
     ef_construction: int = 100,
+    dtype: str = "float32",
 ) -> None:
     """Build per-shard graphs (shard = xxhash64(id) % n_shards — the
     segment router) and persist chunked rows PARTITIONED BY SHARD, plus a
@@ -453,11 +505,14 @@ def build_hnsw_index(
             pdf = pd.concat(parts).sort_values("id", kind="mergesort")  # deterministic
             g = HnswGraph(
                 dim=len(pdf["embedding"].iloc[0]), m=m,
-                ef_construction=ef_construction, seed=42 + sh,
+                ef_construction=ef_construction, seed=42 + sh, dtype=dtype,
             )
             g.add_batch(
                 pdf["id"].to_numpy(np.int64),
-                np.array(pdf["embedding"].tolist(), dtype=np.float32),
+                np.array(
+                    pdf["embedding"].tolist(),
+                    dtype=np.float32 if dtype == "float32" else np.int8,
+                ),
             )
             yield pd.DataFrame(
                 g.to_rows(sh),

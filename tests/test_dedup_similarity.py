@@ -325,3 +325,53 @@ def test_hnsw_chunked_serialization(spark, tmp_path, monkeypatch):
     assert rows["payload"].map(len).max() <= 4096
     g2 = H.HnswGraph.from_rows(rows.sample(frac=1.0, random_state=1))
     assert g2.search(q, 10, ef=64) == ref
+
+
+def test_hnsw_byte_vectors(spark, tmp_path):
+    """KnnByteVectorQuery (clt/search/knn_byte_vector_query.rs): int8
+    vectors stored raw (4x smaller), cosine via per-node inverse norms.
+    Exhaustive beam == exact within a graph; distributed top-10 overlap
+    >= 9 vs a float64 oracle over the same int8 values; serialized rows
+    round-trip including the inorm chunks."""
+    import numpy as np
+    import pandas as pd
+
+    from lucene_rust_spark.operators.hnsw import HnswGraph, build_hnsw_index, hnsw_topk
+
+    rng = np.random.default_rng(9)
+    n, dim = 2000, 24
+    X = rng.integers(-127, 128, size=(n, dim)).astype(np.int8)
+    # avoid all-zero rows (undefined cosine)
+    X[:, 0] = np.where(X[:, 0] == 0, 1, X[:, 0])
+
+    g = HnswGraph(dim, m=12, ef_construction=80, dtype="int8")
+    g.add_batch(np.arange(n, dtype=np.int64), X)
+    assert g.vecs.dtype == np.int8
+    q = rng.integers(-127, 128, size=dim).astype(np.int8).astype(np.float32)
+    # exhaustive beam is exact
+    got = [i for i, _ in g.search(q, 5, ef=n)]
+    Xf = X.astype(np.float64)
+    sims = (Xf / np.linalg.norm(Xf, axis=1, keepdims=True)) @ (
+        q.astype(np.float64) / np.linalg.norm(q)
+    )
+    want = np.argsort(-sims.astype(np.float32), kind="stable")[:5].tolist()
+    assert got == want
+
+    # rows round-trip (incl. inorm)
+    rows = pd.DataFrame(
+        g.to_rows(0), columns=["shard", "kind", "part", "meta", "payload"]
+    )
+    assert (rows["kind"] == "inorm").sum() >= 1
+    g2 = HnswGraph.from_rows(rows)
+    assert g2.dtype == "int8" and g2.vecs.dtype == np.int8
+    assert g2.search(q, 5, ef=64) == g.search(q, 5, ef=64)
+
+    # distributed path
+    emb = spark.createDataFrame(
+        pd.DataFrame({"id": np.arange(n), "embedding": [r.tolist() for r in X]})
+    )
+    out = str(tmp_path / "hnsw_b")
+    build_hnsw_index(emb, out, n_shards=4, m=12, ef_construction=80, dtype="int8")
+    approx = {r["id"] for r in hnsw_topk(spark, out, q, 10, ef=128).collect()}
+    exact = set(np.argsort(-sims, kind="stable")[:10].tolist())
+    assert len(approx & exact) >= 9
