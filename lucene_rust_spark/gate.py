@@ -787,6 +787,68 @@ def ann_filtered_knn(spark, sf_dir):
     return out.select(F.col("id").alias("vec_id")).orderBy("vec_id")
 
 
+def ann_byte_knn(spark, sf_dir):
+    """KnnByteVectorQuery (clt/search/knn_byte_vector_query.rs): the
+    embeddings quantized to int8 (trunc(x*100) clipped to [-127,127] —
+    replicable bit-for-bit in SQL), indexed per-shard with dtype='int8'
+    (raw int8 storage + inverse-norm cosine), queried with the same
+    selective pre-filter as ann_filtered_knn so the exact-fallback path
+    yields the true filtered top-10 for DuckDB to verify."""
+    import hashlib
+
+    import numpy as np
+
+    from lucene_rust_spark.operators.hnsw import build_hnsw_index, hnsw_topk
+
+    e = _emb(spark, sf_dir)
+    # quantize: trunc(x*100) toward zero (cast-to-long semantics), clip
+    # to int8 range — DuckDB's trunc + greatest/least reproduces exactly
+    eq = e.select(
+        F.col("vec_id").alias("id"),
+        F.expr(
+            "transform(embedding, x -> double(greatest(-127L,"
+            " least(127L, cast(double(x) * 100 as long)))))"
+        ).alias("embedding"),
+    )
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    idx = f"/tmp/lrs_hnsw_gate/{key}_i8"
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        build_hnsw_index(
+            eq.filter(F.col("id") != 0), idx, n_shards=4, dtype="int8"
+        )
+    qv = np.asarray(
+        eq.filter(F.col("id") == 0).first()["embedding"], dtype=np.float32
+    )
+    allowed = e.filter(
+        (F.col("vec_id") % 31 == 5) & (F.col("vec_id") != 0)
+    ).select(F.col("vec_id").alias("id"))
+    out = hnsw_topk(
+        spark, idx, qv, k=10, ef=256, filter_ids=allowed, exact_cutoff=0.2
+    )
+    return out.select(F.col("id").alias("vec_id")).orderBy("vec_id")
+
+
+SQL_ANN_BYTE_KNN = """
+WITH qb AS (
+  SELECT list_transform(embedding::DOUBLE[],
+    x -> greatest(-127.0, least(127.0, trunc(x * 100)))) AS qv
+  FROM embeddings WHERE vec_id = 0),
+eb AS (
+  SELECT vec_id, list_transform(embedding::DOUBLE[],
+    x -> greatest(-127.0, least(127.0, trunc(x * 100)))) AS v
+  FROM embeddings WHERE vec_id <> 0 AND vec_id % 31 = 5),
+c AS (
+  SELECT vec_id,
+    list_sum(list_transform(list_zip(v, qb.qv), p -> p[1] * p[2]))
+    / (sqrt(list_sum(list_transform(v, x -> x * x)))
+     * sqrt(list_sum(list_transform(qb.qv, x -> x * x)))) AS cos
+  FROM eb CROSS JOIN qb)
+SELECT vec_id FROM (
+  SELECT vec_id FROM c ORDER BY cos DESC, vec_id ASC LIMIT 10
+) ORDER BY vec_id
+"""
+
+
 SQL_ANN_FILTERED_KNN = """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
 c AS (
@@ -1060,6 +1122,7 @@ GATE: dict[str, tuple] = {
     # driver-verified every round (plus the pytest recall suite)
     "ann_hnsw_selfcheck": (ann_hnsw_selfcheck, SQL_ANN_HNSW_SELFCHECK),
     "ann_filtered_knn": (ann_filtered_knn, SQL_ANN_FILTERED_KNN),
+    "ann_byte_knn": (ann_byte_knn, SQL_ANN_BYTE_KNN),
     "topk_by_field": (topk_by_field, SQL_TOPK_BY_FIELD),
     "agg_partial_final": (agg_partial_final, SQL_AGG_PARTIAL_FINAL),
     "events_windowed": (events_windowed, SQL_EVENTS_WINDOWED),
