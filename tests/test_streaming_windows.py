@@ -198,3 +198,58 @@ def test_sessionize_intra_batch_gap_split(spark, tmp_path):
         ("2024-01-01T03:00:00", "2024-01-01T03:00:00", 1, 4.0),
         ("2024-01-01T06:00:00", "2024-01-01T06:20:00", 3, 56.0),
     ]
+
+
+def test_sessionize_out_of_order_within_watermark(spark, tmp_path):
+    """An event that arrives in a LATER batch but timestamps BEFORE the
+    stored session (still inside the watermark) must bridge/extend via
+    the sorted segment merge — not open a bogus second session."""
+    from lucene_rust_spark.streaming.windows import stream_sessionize
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+
+    # batch 1: user 5 at 02:00; watermark (1h) reaches 01:30 via user 9
+    _write_batch(
+        spark, src,
+        [
+            (1, _ts("2024-01-01 02:00:00"), 5, "click", 1.0),
+            (2, _ts("2024-01-01 02:30:00"), 9, "click", 0.0),
+        ],
+        "b1",
+    )
+    q = stream_sessionize(spark, src, out, ck, gap_minutes=30, watermark="1 hour")
+    q.awaitTermination()
+
+    # batch 2: OUT-OF-ORDER event for user 5 at 01:45 (before the stored
+    # 02:00 start, after the watermark) — gap 15 min bridges backwards,
+    # so the session becomes [01:45, 02:00]
+    _write_batch(
+        spark, src,
+        [
+            (3, _ts("2024-01-01 01:45:00"), 5, "click", 2.0),
+            (4, _ts("2024-01-01 02:35:00"), 9, "click", 0.0),
+        ],
+        "b2",
+    )
+    q = stream_sessionize(spark, src, out, ck, gap_minutes=30, watermark="1 hour")
+    q.awaitTermination()
+
+    # flush via far-future pusher
+    _write_batch(
+        spark, src,
+        [(5, _ts("2024-01-02 00:00:00"), 9, "click", 0.0)],
+        "b3",
+    )
+    q = stream_sessionize(spark, src, out, ck, gap_minutes=30, watermark="1 hour")
+    q.awaitTermination()
+
+    u5 = [
+        (r["session_start"].isoformat(), r["session_end"].isoformat(),
+         r["n_events"], r["value_sum"])
+        for r in spark.read.parquet(out).collect()
+        if r["user_id"] == 5
+    ]
+    assert u5 == [("2024-01-01T01:45:00", "2024-01-01T02:00:00", 2, 3.0)]
