@@ -203,3 +203,56 @@ def test_property_escaped_literals_roundtrip():
         assert not matcher(s + "x")
 
     run()
+
+
+def test_dfa_path_agrees_with_regex_path():
+    """Cross-validation of the two compile paths: for patterns the regex
+    engine can express, forcing them through the NFA->DFA pipeline must
+    yield identical acceptance on a broad input set. This pins the
+    automaton construction (Thompson/subset/product) against an
+    independent implementation (Python re)."""
+    import itertools
+
+    from lucene_rust_spark.search.automaton import compile_ast
+    from lucene_rust_spark.search.regexp import (
+        compile_lucene_regexp,
+        parse_lucene_regexp,
+    )
+
+    patterns = [
+        "abc", "a*b+c?", "(ab|cd)*e", "[a-c]{2,4}", "a.c", "@b",
+        "x(y|z){1,3}", "[^ab]c*", "\"lit+\"", "a|b|c", "(a(b(c)))",
+        "a{3}", "(|a)b", "[a-z]~?",  # '~?' = literal? no — ~ then ? ... skip
+    ]
+    patterns = patterns[:-1]
+    # inputs: all strings over {a,b,c,x,y,z,e,d,.} up to length 3 + extras
+    alpha = "abcxyzed."
+    inputs = [""]
+    for L in (1, 2, 3):
+        inputs.extend("".join(t) for t in itertools.product(alpha, repeat=L))
+    inputs += ["abcc", "ababe", "cdcde", "lit", "litt", "littt", "aaaa", "bbbb"]
+    for pat in patterns:
+        fast = compile_lucene_regexp(pat)  # regex path (no ~/&/# inside)
+        dfa = compile_ast(parse_lucene_regexp(pat))  # forced DFA path
+        for s in inputs:
+            assert fast(s) == dfa(s), (pat, s)
+
+
+def test_dfa_de_morgan_identity():
+    """~(a|b) == (~a)&(~b) over the automaton algebra (language-level
+    De Morgan) — a structural sanity check product/complement can't pass
+    by accident."""
+    m1 = m_compile("~(ab|cd)")
+    m2 = m_compile("(~(ab))&(~(cd))")
+    import itertools
+
+    for L in range(0, 4):
+        for t in itertools.product("abcd", repeat=L):
+            s = "".join(t)
+            assert m1(s) == m2(s), s
+
+
+def m_compile(pat):
+    from lucene_rust_spark.search.regexp import compile_lucene_regexp
+
+    return compile_lucene_regexp(pat)
