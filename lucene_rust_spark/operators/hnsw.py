@@ -192,7 +192,7 @@ class HnswGraph:
         for lc in range(self.max_level, level, -1):
             ep = self._greedy(q, ep, lc)
         for lc in range(min(level, self.max_level), -1, -1):
-            cand, _ = self._search_layer(q, [ep], lc, self.ef_c)
+            cand, _ = self._search_layer(q, [ep], lc, self.ef_c, expand=4)
             mmax = self.m0 if lc == 0 else self.m
             chosen = self._select_diverse(cand, self.m)
             self._set_neighbors(node, lc, np.asarray(chosen, dtype=np.int32))
@@ -273,13 +273,22 @@ class HnswGraph:
         ef: int,
         allowed: np.ndarray | None = None,
         visited_limit: int | None = None,
+        expand: int = 1,
     ) -> tuple[list, int]:
         """Beam search with batched neighbor scoring. Returns
         ([(sim, node)] min-heap content of up to ef best, n_visited).
         `allowed` (bool mask over nodes) restricts which nodes may enter
         the RESULT heap — traversal is unrestricted (the Lucene filtered
         HNSW rule). Raises _VisitedLimit when the traversal exceeds
-        visited_limit."""
+        visited_limit.
+
+        ``expand`` > 1 pops that many frontier candidates per iteration
+        and fuses their layer-0 neighbor gather + scoring into single
+        numpy ops (fixed-width link0 makes the gather one fancy index) —
+        ~6 numpy dispatches per POP become ~6 per BATCH. A coarser
+        expansion order explores a slightly different (measured:
+        equivalent-recall) frontier; construction uses it, queries keep
+        expand=1 for the canonical order."""
         # generation-stamped visited bitmap: no per-search allocation
         if self._vis is None or len(self._vis) < self._cap:
             self._vis = np.zeros(self._cap, dtype=np.int64)
@@ -300,14 +309,37 @@ class HnswGraph:
         ]
         heapq.heapify(best)
         link0, cnt0 = self.link0, self.cnt0
+        m0 = self.m0
+        col = np.arange(m0)
         while cand:
-            nsim, node = heapq.heappop(cand)
-            if len(best) >= ef and -nsim < best[0][0]:
-                break
-            if layer == 0:
-                nbrs = link0[node, : cnt0[node]]
+            if expand > 1 and layer == 0:
+                # fused multi-pop: gather up to `expand` above-threshold
+                # frontier nodes, mask their fixed-width link rows in one
+                # shot, dedup via the visited stamp
+                batch = []
+                while cand and len(batch) < expand:
+                    nsim, node = heapq.heappop(cand)
+                    if len(best) >= ef and -nsim < best[0][0]:
+                        if not batch:
+                            return best, n_visited
+                        break
+                    batch.append(node)
+                if not batch:
+                    break
+                barr = np.asarray(batch, dtype=np.int64)
+                rows = link0[barr]
+                flat = rows[col[None, :] < cnt0[barr][:, None]]
+                if len(flat) == 0:
+                    continue
+                nbrs = np.unique(flat)
             else:
-                nbrs = self._neighbors(node, layer)
+                nsim, node = heapq.heappop(cand)
+                if len(best) >= ef and -nsim < best[0][0]:
+                    break
+                if layer == 0:
+                    nbrs = link0[node, : cnt0[node]]
+                else:
+                    nbrs = self._neighbors(node, layer)
             if len(nbrs) == 0:
                 continue
             fresh = nbrs[vis[nbrs] != gen]
