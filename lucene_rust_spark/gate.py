@@ -1005,9 +1005,9 @@ def events_sessions(spark, sf_dir):
     """REAL streaming gap-sessionizer run (readStream → watermark(2h) →
     applyInPandasWithState gap=30min → append parquet sink) over the
     events table split into THREE time-ordered batch files. Emitted
-    sessions = every non-final gap-island per user (closed eagerly when
-    a later event arrives past the gap) plus final islands whose
-    event-time timeout fired; availableNow runs a trailing no-data
+    sessions = gap-islands the WATERMARK provably closed (watermark >
+    island_end + gap; open islands stay in state so in-watermark late
+    events can still bridge them); availableNow runs a trailing no-data
     micro-batch, so timeouts evaluate against the FINAL watermark
     (max ts − 2h). The DuckDB oracle derives exactly that set with a
     lag/gap-island query."""
@@ -1078,12 +1078,11 @@ isl AS (
   SELECT user_id, grp, min(ts) AS session_start, max(ts) AS session_end,
          count(*)::BIGINT AS n_events, round(sum(value), 4) AS value_sum
   FROM g GROUP BY user_id, grp
-),
-li AS (SELECT *, max(grp) OVER (PARTITION BY user_id) AS maxgrp FROM isl)
+)
 SELECT user_id, floor(epoch(session_start))::BIGINT AS s_start,
        floor(epoch(session_end))::BIGINT AS s_end, n_events, value_sum
-FROM li CROSS JOIN wm
-WHERE grp < maxgrp OR session_end + INTERVAL '30 minutes' < wm.w
+FROM isl CROSS JOIN wm
+WHERE session_end + INTERVAL '30 minutes' < wm.w
 ORDER BY user_id, s_start
 """
 

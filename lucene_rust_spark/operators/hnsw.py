@@ -659,6 +659,10 @@ def hnsw_topk(
                 # and caches the deserialized graph across queries — no
                 # per-query shuffle of index bytes
                 g = _graph_for_shard(_dir, int(sh), _bid)
+                if _allow is not None and len(_allow) == 0:
+                    # empty filter: zero hits everywhere (searchsorted
+                    # against an empty array would index out of bounds)
+                    continue
                 if _allow is not None:
                     mask = np.zeros(g.n, dtype=bool)
                     pos = np.searchsorted(_allow, g.ids[: g.n])

@@ -975,6 +975,11 @@ class IndexSearcher:
         return self._drop_deleted(self._match_docs_inner(query))
 
     def _match_docs_inner(self, query: dict) -> DataFrame:
+        # sloppy ngram phrases rewrite to the full PhraseQuery here too —
+        # without this the slop>0 ngram path would match on kept grams
+        # with consecutive-slot offsets and return wrong (usually empty)
+        # doc sets on the DataFrame path
+        query = _normalize_ngram_phrase(query)
         qt = query.get("type")
         if qt == "match_all":
             return self.docmap.select("doc_id")
@@ -997,9 +1002,12 @@ class IndexSearcher:
         if qt == "indri_and":
             return self._matching_docs(sorted(set(query["terms"])))
         if qt in ("phrase", "multi_phrase", "ngram_phrase"):
+            # ngram_phrase never takes the lucene sloppy kernel: its
+            # sloppy_freqs_for_doc adjusts positions by consecutive slot
+            # index, not the kept-gram offsets (same guard as _phrase_hits)
             freq = (
                 self._phrase_freq_lucene(query)
-                if query.get("slop_mode") == "lucene"
+                if query.get("slop_mode") == "lucene" and qt != "ngram_phrase"
                 else self._phrase_freq(query)
             )
             return freq.select("doc_id") if freq is not None else self._empty_docs()

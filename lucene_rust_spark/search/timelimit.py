@@ -37,6 +37,17 @@ class TimeExceededException(Exception):
         )
 
 
+def _is_cancellation(exc: BaseException) -> bool:
+    """True only for errors that look like a Spark job-group cancel
+    (Py4JJavaError / SparkException text mentioning a cancelled job or
+    killed stage) — the signatures ``cancelJobGroup`` produces."""
+    text = f"{type(exc).__name__}: {exc}".lower()
+    return any(
+        marker in text
+        for marker in ("cancelled", "canceled", "killed", "jobgroup", "job group")
+    )
+
+
 def run_with_time_budget(
     spark, fn, timeout_ms: float, description: str = "query", greedy: bool = False
 ):
@@ -71,9 +82,11 @@ def run_with_time_budget(
     if err:
         cause = err[0]
         # a cancel racing a finishing job also surfaces as a Spark error;
-        # normalize anything raised AFTER the deadline to TimeExceeded
+        # normalize ONLY errors identifiable as job cancellation to
+        # TimeExceeded — a genuine failure (bad query, OOM, data error)
+        # that merely completed late must surface as itself
         elapsed = (time.monotonic() - t0) * 1000.0
-        if elapsed > timeout_ms:
+        if elapsed > timeout_ms and _is_cancellation(cause):
             raise TimeExceededException(timeout_ms, elapsed) from cause
         raise cause
     elapsed = (time.monotonic() - t0) * 1000.0

@@ -84,12 +84,18 @@ def stream_windowed_counts(
     )
 
 
+# parallel arrays, one entry per OPEN gap-island. Holding EVERY island
+# (not just the trailing one) is what makes emission watermark-correct:
+# an island only emits once the watermark proves no in-watermark late
+# event can still bridge into it, so a late-but-valid event that lands
+# between two open islands merges them instead of splitting a true
+# session across already-emitted output (append sinks can't retract).
 SESSION_STATE = T.StructType(
     [
-        T.StructField("start_us", T.LongType()),
-        T.StructField("last_us", T.LongType()),
-        T.StructField("n", T.LongType()),
-        T.StructField("v", T.DoubleType()),
+        T.StructField("start_us", T.ArrayType(T.LongType())),
+        T.StructField("last_us", T.ArrayType(T.LongType())),
+        T.StructField("n", T.ArrayType(T.LongType())),
+        T.StructField("v", T.ArrayType(T.DoubleType())),
     ]
 )
 
@@ -106,25 +112,51 @@ SESSION_OUT = T.StructType(
 
 def _session_fn(gap_minutes: int):
     gap_ns = gap_minutes * 60 * 1_000_000_000
+    gap_ms = gap_minutes * 60 * 1_000
+
+    def emit_df(user_id, islands):
+        return pd.DataFrame(
+            {
+                "user_id": [user_id] * len(islands),
+                "session_start": [pd.Timestamp(s[0]) for s in islands],
+                "session_end": [pd.Timestamp(s[1]) for s in islands],
+                "n_events": [s[2] for s in islands],
+                "value_sum": [s[3] for s in islands],
+            }
+        )
+
+    def split_emit(islands, wm_ms):
+        """Partition open islands into (provably closed, still open): an
+        island is closed once the watermark strictly passes end + gap —
+        no event the watermark still admits can bridge into it."""
+        closed = [s for s in islands if s[1] // 1_000_000 + gap_ms < wm_ms]
+        kept = [s for s in islands if s[1] // 1_000_000 + gap_ms >= wm_ms]
+        return closed, kept
+
+    def save(state, kept, wm_ms):
+        if not kept:
+            state.remove()
+            return
+        state.update(tuple([list(col) for col in zip(*kept)]))
+        # re-arm for the earliest still-open island; the timestamp must
+        # be strictly past the current watermark
+        ts = min(s[1] // 1_000_000 + gap_ms for s in kept)
+        state.setTimeoutTimestamp(max(ts, wm_ms + 1))
 
     def fn(key, pdfs, state):
         # state holds NANOSECOND epochs (pandas datetime64[ns] native);
-        # setTimeoutTimestamp takes epoch MILLIS
+        # setTimeoutTimestamp / getCurrentWatermarkMs are epoch MILLIS
         import numpy as np
 
         user_id = key[0]
+        wm_ms = state.getCurrentWatermarkMs()
         if state.hasTimedOut:
-            start_ns, last_ns, n, v = state.get
-            state.remove()
-            yield pd.DataFrame(
-                {
-                    "user_id": [user_id],
-                    "session_start": [pd.Timestamp(start_ns)],
-                    "session_end": [pd.Timestamp(last_ns)],
-                    "n_events": [n],
-                    "value_sum": [v],
-                }
-            )
+            starts, lasts, ns, vs = state.get
+            islands = sorted(zip(starts, lasts, ns, vs))
+            closed, kept = split_emit(islands, wm_ms)
+            save(state, kept, wm_ms)
+            if closed:
+                yield emit_df(user_id, closed)
             return
         rows = pd.concat(list(pdfs)).sort_values("ts", kind="mergesort")
         ts_ns = rows["ts"].astype("int64").to_numpy()
@@ -144,10 +176,15 @@ def _session_fn(gap_minutes: int):
             for a, b in zip(bounds[:-1], bounds[1:])
         ]
         if state.exists:
-            segs.append(tuple(state.get))
+            starts, lasts, ns, vs = state.get
+            segs.extend(
+                (int(a), int(b), int(c), float(d))
+                for a, b, c, d in zip(starts, lasts, ns, vs)
+            )
             segs.sort(key=lambda s: s[0])
-        # merge adjacent segments whose gap closed (the stored session can
-        # bridge into — or be bridged by — the batch's segments)
+        # merge adjacent segments whose gap closed (stored islands can
+        # bridge into — or be bridged by — the batch's segments, in
+        # either time direction)
         merged = [segs[0]]
         for s in segs[1:]:
             p = merged[-1]
@@ -155,32 +192,23 @@ def _session_fn(gap_minutes: int):
                 merged[-1] = (p[0], max(p[1], s[1]), p[2] + s[2], p[3] + s[3])
             else:
                 merged.append(s)
-        # every segment but the trailing one is CLOSED (a later event this
-        # batch proved the gap elapsed) — emit now; keep only the tail
-        out = [(user_id, *s) for s in merged[:-1]]
-        start_ns, last_ns, n, v = merged[-1]
-        state.update((start_ns, last_ns, n, v))
-        # emit when the WATERMARK passes last_ts + gap (event-time timeout)
-        state.setTimeoutTimestamp(last_ns // 1_000_000 + gap_ns // 1_000_000)
-        if out:
-            yield pd.DataFrame(
-                {
-                    "user_id": [o[0] for o in out],
-                    "session_start": [pd.Timestamp(o[1]) for o in out],
-                    "session_end": [pd.Timestamp(o[2]) for o in out],
-                    "n_events": [o[3] for o in out],
-                    "value_sum": [o[4] for o in out],
-                }
-            )
+        # emit ONLY islands the watermark has provably closed; every other
+        # island stays open in state until its event-time timeout — an
+        # in-watermark late event in a later batch may still bridge them
+        closed, kept = split_emit(merged, wm_ms)
+        save(state, kept, wm_ms)
+        if closed:
+            yield emit_df(user_id, closed)
 
     return fn
 
 
 def sessionize(stream: DataFrame, gap_minutes: int = 30, watermark: str = "2 hours") -> DataFrame:
     """Gap-based sessions per user as a custom stateful operator
-    (applyInPandasWithState, event-time timeout): a session closes when
-    the event-time watermark passes last_event + gap, or eagerly when a
-    later batch opens a new session for the same user."""
+    (applyInPandasWithState, event-time timeout): a session closes
+    exactly when the event-time watermark passes last_event + gap —
+    never earlier, so in-watermark late events can still merge open
+    islands (append output is emit-once and cannot retract)."""
     return (
         stream.withWatermark("ts", watermark)
         .groupBy("user_id")

@@ -298,6 +298,15 @@ def test_hnsw_filtered_knn(spark, tmp_path):
     ]
     assert got_df == want
 
+    # EMPTY filter: zero hits, no executor crash (regression: searchsorted
+    # against an empty allow-array indexed out of bounds)
+    assert hnsw_topk(spark, out, q, 10, ef=64, filter_ids=[]).collect() == []
+    # filter matching nothing in the index behaves the same
+    assert (
+        hnsw_topk(spark, out, q, 10, ef=64, filter_ids=[10_000_000]).collect()
+        == []
+    )
+
 
 def test_hnsw_chunked_serialization(spark, tmp_path, monkeypatch):
     """A shard's arrays split across multiple <= CHUNK_BYTES rows and

@@ -519,3 +519,58 @@ def test_ngram_phrase_query(spark, tmp_path_factory):
     s.DRIVER_EXEC_MAX_POSTINGS = IndexSearcher.DRIVER_EXEC_MAX_POSTINGS
     drv = s.search(ngram_phrase_query(g, 3), 20)
     assert [d for d, _ in dist] == [d for d, _ in drv]
+
+
+def test_ngram_phrase_dataframe_path_slop_and_lucene_mode(spark, tmp_path_factory):
+    """The DataFrame (matching_docs_df / count) path must normalize
+    sloppy ngram phrases to full PhraseQuery and never route ngram
+    phrases through the lucene sloppy kernel (whose position adjustment
+    assumes consecutive slots, not kept-gram offsets)."""
+    import pandas as pd
+
+    from lucene_rust_spark.index.build import build_index
+    from lucene_rust_spark.oracle.bm25 import ngram_phrase_query, phrase_query
+    from lucene_rust_spark.search.searcher import IndexSearcher
+
+    def grams(s, n=3):
+        return [s[i : i + n] for i in range(len(s) - n + 1)]
+
+    words = [
+        "sparkline", "sparkplug", "sparse", "parquet", "partition",
+        "sharkfin", "parkway", "sparking", "spartan", "linespark",
+    ]
+    rows = [
+        {
+            "repo": "r", "path": f"doc/{i}", "commit": str(i),
+            "lang": "en", "content": " ".join(grams(w)),
+        }
+        for i, w in enumerate(words)
+    ]
+    out = str(tmp_path_factory.mktemp("ngram_df") / "idx")
+    build_index(
+        spark, spark.createDataFrame(pd.DataFrame(rows)), out,
+        num_partitions=2, positions=True,
+    )
+    s = IndexSearcher(spark, out, cache=True)
+    # force the DataFrame path everywhere
+    s.DRIVER_EXEC_MAX_POSTINGS = 0
+    try:
+        for probe in ["spark", "parti", "sparkl"]:
+            g = grams(probe)
+            # slop>0 ngram == full phrase with the same slop (count path)
+            assert s.count(ngram_phrase_query(g, 3, slop=1)) == s.count(
+                phrase_query(g, slop=1)
+            ), probe
+            # exact ngram with slop_mode='lucene' must NOT take the
+            # lucene sloppy kernel: match set == full exact phrase
+            q = ngram_phrase_query(g, 3)
+            q["slop_mode"] = "lucene"
+            assert s.count(q) == s.count(phrase_query(g)), probe
+            # and a sloppy lucene-mode ngram == sloppy lucene-mode phrase
+            q = ngram_phrase_query(g, 3, slop=1)
+            q["slop_mode"] = "lucene"
+            assert s.count(q) == s.count(
+                phrase_query(g, slop=1, slop_mode="lucene")
+            ), probe
+    finally:
+        s.DRIVER_EXEC_MAX_POSTINGS = IndexSearcher.DRIVER_EXEC_MAX_POSTINGS

@@ -253,3 +253,61 @@ def test_sessionize_out_of_order_within_watermark(spark, tmp_path):
         if r["user_id"] == 5
     ]
     assert u5 == [("2024-01-01T01:45:00", "2024-01-01T02:00:00", 2, 3.0)]
+
+
+def test_sessionize_late_event_bridges_open_islands(spark, tmp_path):
+    """A late-but-in-watermark event that lands BETWEEN two open islands
+    must merge them into ONE session. This only works because islands
+    stay in state until the watermark provably closes them (emit-once
+    append output cannot retract an eagerly-emitted half-session)."""
+    from lucene_rust_spark.streaming.windows import stream_sessionize
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+
+    # batch 1: user 3 at 00:00 and 00:50 (gap 30 min -> two islands);
+    # pusher 02:20 keeps the watermark (2h) at 00:20, so NEITHER island
+    # is provably closed (island 1 needs wm > 00:30)
+    _write_batch(
+        spark, src,
+        [
+            (1, _ts("2024-01-01 00:00:00"), 3, "click", 1.0),
+            (2, _ts("2024-01-01 00:50:00"), 3, "click", 2.0),
+            (3, _ts("2024-01-01 02:20:00"), 9, "click", 0.0),
+        ],
+        "b1",
+    )
+    q = stream_sessionize(spark, src, out, ck, gap_minutes=30, watermark="2 hours")
+    q.awaitTermination()
+
+    # batch 2: LATE event at 00:25 (admitted: > watermark 00:20) bridges
+    # both islands (25 min to each side)
+    _write_batch(
+        spark, src,
+        [
+            (4, _ts("2024-01-01 00:25:00"), 3, "click", 4.0),
+            (5, _ts("2024-01-01 05:00:00"), 9, "click", 0.0),
+        ],
+        "b2",
+    )
+    q = stream_sessionize(spark, src, out, ck, gap_minutes=30, watermark="2 hours")
+    q.awaitTermination()
+
+    # flush everything
+    _write_batch(
+        spark, src,
+        [(6, _ts("2024-01-02 00:00:00"), 9, "click", 0.0)],
+        "b3",
+    )
+    q = stream_sessionize(spark, src, out, ck, gap_minutes=30, watermark="2 hours")
+    q.awaitTermination()
+
+    u3 = [
+        (r["session_start"].isoformat(), r["session_end"].isoformat(),
+         r["n_events"], r["value_sum"])
+        for r in spark.read.parquet(out).collect()
+        if r["user_id"] == 3
+    ]
+    assert u3 == [("2024-01-01T00:00:00", "2024-01-01T00:50:00", 3, 7.0)]
