@@ -122,7 +122,37 @@ class HnswGraph:
             setattr(self, name, new)
         self._cap = cap
 
+    # visited-bitmap budget for wave construction / batched serving: caps
+    # the queries-per-wave so (wave, n) bool arrays stay bounded — at
+    # 10M-node shards waves shrink to ~50 queries and throughput degrades
+    # gracefully toward the sequential path instead of blowing memory
+    VISITED_BUDGET_BYTES = 512 * 1024 * 1024
+    # sequential bootstrap size before wave insertion starts: a seed
+    # graph built the exact per-insert way. 1024 keeps SMALL shards (a
+    # few hundred vectors) entirely on the sequential path — tiny wave
+    # graphs measured poor beam navigability when the first wave is a
+    # large fraction of the graph — while costing ~2s at 100k
+    BOOTSTRAP = 1024
+    # wave ceiling: bounds the O(W^2) intra-wave candidate pass and keeps
+    # each wave small relative to the frozen graph (graph quality — wave
+    # peers search a snapshot that excludes each other's links; measured
+    # at 20k/64-d gaussian: cap 512 holds recall@400 within ~0.03 of the
+    # sequential build, cap 2048 costs ~0.12)
+    WAVE_CAP = 512
+
     def add_batch(self, ids: np.ndarray, vecs: np.ndarray) -> None:
+        """Bulk insert via BATCH-INSERT WAVES (the vectorized analog of
+        Lucene's concurrent HnswGraphBuilder merge workers): store all
+        vectors, sequentially insert a small bootstrap + every node with
+        an upper level (rare, ~1/m), then insert level-0 nodes in
+        doubling waves — each wave's neighbor searches run as ONE
+        multi-query vectorized beam over the frozen snapshot (wave peers
+        become candidates via a brute intra-wave top-m), followed by
+        vectorized diversity selection and batched back-link
+        reconciliation. Wave nodes don't see each other's links during
+        the search, exactly like hnswlib's concurrent inserts; recall is
+        held by the intra-wave candidate pass (measured on gaussian
+        vectors, the worst case)."""
         k = len(ids)
         self._grow(k)
         base = self.n
@@ -143,9 +173,32 @@ class HnswGraph:
             np.int32
         )
         self.levels[base : base + k] = lv
-        for i in range(k):
-            self.n = base + i + 1
-            self._insert(base + i)
+
+        end = base + k
+        pos = base
+        # sequential bootstrap (also covers small batches entirely)
+        boot_end = min(end, max(self.BOOTSTRAP, self.n))
+        while pos < boot_end:
+            self.n = pos + 1
+            self._insert(pos)
+            pos += 1
+        while pos < end:
+            vis_cap = max(64, self.VISITED_BUDGET_BYTES // max(pos, 1))
+            # wave <= half the frozen graph: each node's exact frozen
+            # candidates then cover >= 2/3 of all inserted vectors
+            wave = min(end - pos, max(128, pos // 2), self.WAVE_CAP, vis_cap)
+            a, b = pos, pos + wave
+            self.n = b
+            # upper-LAYER links first, sequentially (rare: ~1/m nodes;
+            # upper layers are tiny so these beams are cheap — their
+            # layer-0 links come from the batch below like everyone
+            # else's). Unlinked wave peers are unreachable and thus
+            # invisible to these searches.
+            lvl = self.levels[a:b]
+            for node in a + np.flatnonzero(lvl > 0):
+                self._insert_upper_only(int(node))
+            self._insert_wave(np.arange(a, b, dtype=np.int64))
+            pos = b
 
     def _qsims(self, idx: np.ndarray, q: np.ndarray) -> np.ndarray:
         """Cosines of stored nodes `idx` vs the UNIT float32 query."""
@@ -183,6 +236,7 @@ class HnswGraph:
 
     def _insert(self, node: int) -> None:
         level = int(self.levels[node])
+        self._register_upper(node, level)
         if self.entry < 0:
             self.entry, self.max_level = node, level
             self._set_neighbors(node, 0, _EMPTY_I32)
@@ -251,6 +305,490 @@ class HnswGraph:
         sims = self._qsims(cand, self._unit_vec(nb))
         keep = cand[np.argsort(-sims, kind="stable")[:mmax]]
         self._set_neighbors(nb, layer, keep)
+
+    def _register_upper(self, node: int, level: int) -> None:
+        """Track layer membership (nodes with level >= l) for the exact
+        upper-layer candidate search."""
+        if not hasattr(self, "_upper_members"):
+            self._upper_members: list[list[int]] = []
+        while len(self._upper_members) < level:
+            self._upper_members.append([])
+        for lc in range(1, level + 1):
+            self._upper_members[lc - 1].append(int(node))
+
+    def _upper_candidates(self, q: np.ndarray, lc: int, ep: int, ef_u: int):
+        """Candidates for one node at layer lc: EXACT top-ef_u over the
+        layer's members while the layer is small (one mat-vec — layers
+        hold ~n/m^lc nodes so this stays cheap far beyond the layer-0
+        brute cutoff), else the sequential beam."""
+        members = (
+            self._upper_members[lc - 1]
+            if hasattr(self, "_upper_members") and lc <= len(self._upper_members)
+            else []
+        )
+        if 0 < len(members) <= self.UPPER_BRUTE_MAX:
+            arr = np.fromiter(members, dtype=np.int64, count=len(members))
+            sims = self._qsims(arr, q)
+            k = min(ef_u, len(arr))
+            top = np.argpartition(-sims, k - 1)[:k]
+            return [(float(sims[t]), int(arr[t])) for t in top]
+        cand, _ = self._search_layer(q, [ep], lc, ef_u, expand=4)
+        return cand
+
+    def _insert_upper_only(self, node: int) -> None:
+        """Place a node's links on layers >= 1 only (its layer-0 links
+        come from the wave batch), using exact per-layer candidates."""
+        level = int(self.levels[node])
+        if self.entry < 0:
+            self.entry, self.max_level = node, level
+            self._set_neighbors(node, 0, _EMPTY_I32)
+            self._register_upper(node, level)
+            return
+        q = self._unit_vec(node)
+        ep = self.entry
+        for lc in range(self.max_level, level, -1):
+            ep = self._greedy(q, ep, lc)
+        ef_u = max(2 * self.m, 48)
+        for lc in range(min(level, self.max_level), 0, -1):
+            cand = self._upper_candidates(q, lc, ep, ef_u)
+            chosen = self._select_diverse(cand, self.m)
+            self._set_neighbors(node, lc, np.asarray(chosen, dtype=np.int32))
+            for nb in chosen:
+                self._link_back(nb, node, lc, self.m)
+            ep = chosen[0] if chosen else ep
+        if level > self.max_level:
+            self.entry, self.max_level = node, level
+        self._register_upper(node, level)
+
+    # -- batched (wave) construction + multi-query search --------------------
+
+    def _unit_rows2(self, nodes: np.ndarray) -> np.ndarray:
+        """(A, B) node index array -> (A, B, d) unit float32 rows."""
+        flat = self._unit_rows(nodes.reshape(-1))
+        return flat.reshape(*nodes.shape, self.dim)
+
+    def _batch_descend(self, Q: np.ndarray) -> np.ndarray:
+        """Vectorized greedy descent of all upper layers for W unit
+        queries at once -> (W,) entry points for layer 0. Per layer the
+        sparse dict adjacency is padded ONCE into (rows, width) arrays so
+        each greedy step is a single gather + batched mat-vec."""
+        W = len(Q)
+        cur = np.full(W, self.entry, dtype=np.int64)
+        if self.max_level < 1:
+            return cur
+        cur_sim = np.einsum("wd,wd->w", self._unit_rows(cur), Q)
+        rng_w = np.arange(W)
+        for layer in range(self.max_level, 0, -1):
+            d = self.upper[layer - 1] if layer - 1 < len(self.upper) else {}
+            if not d:
+                continue
+            nodes = np.fromiter(d.keys(), dtype=np.int64, count=len(d))
+            width = max(len(v) for v in d.values())
+            padded = np.full((len(nodes), width), -1, dtype=np.int64)
+            for j, nd in enumerate(nodes):
+                padded[j, : len(d[int(nd)])] = d[int(nd)]
+            rowmap = np.full(self._cap, -1, dtype=np.int64)
+            rowmap[nodes] = np.arange(len(nodes))
+            while True:
+                rows = rowmap[cur]
+                has = rows >= 0
+                if not has.any():
+                    break
+                nb = padded[np.where(has, rows, 0)]
+                valid = has[:, None] & (nb >= 0)
+                nb_safe = np.where(valid, nb, 0)
+                sims = np.einsum("wkd,wd->wk", self._unit_rows2(nb_safe), Q)
+                sims = np.where(valid, sims, -np.inf)
+                j = np.argmax(sims, axis=1)
+                best = sims[rng_w, j]
+                improved = best > cur_sim
+                if not improved.any():
+                    break
+                cur = np.where(improved, nb_safe[rng_w, j], cur)
+                cur_sim = np.where(improved, best, cur_sim)
+        return cur
+
+    def _batch_search_layer0(
+        self, Q: np.ndarray, ef: int, width: int, expand: int = 4
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Multi-query beam over layer 0: W queries advance in LOCKSTEP;
+        each iteration pops the best unexpanded pool entries per query,
+        gathers + scores ONLY the not-yet-visited neighbors in one fused
+        flat gather/mat-vec, and keeps the per-query top-ef by
+        argpartition (no per-iteration sort — the pool is unsorted until
+        the final per-row sort).
+
+        Pop width ADAPTS: it starts at `expand` and grows as queries
+        finish (E ~ W*expand/active) so straggler queries drain their
+        whole frontier in a few coarse iterations instead of dragging
+        the wave through hundreds of near-empty lockstep steps.
+
+        Pool semantics per query: the ef best (node, sim, expanded)
+        triples; the frontier IS the unexpanded subset of the pool (the
+        same bound that terminates the sequential beam). Returns
+        (nodes (W, ef) int64 with -1 padding, sims (W, ef) float32),
+        desc-sorted. `width` bounds the visited bitmap (>= max reachable
+        node index + 1)."""
+        W, P = len(Q), ef
+        E0 = max(1, expand)
+        m0 = self.m0
+        link0, cnt0 = self.link0, self.cnt0
+        eps = self._batch_descend(Q)
+        pool_nodes = np.full((W, P), -1, dtype=np.int32)
+        pool_sims = np.full((W, P), -np.inf, dtype=np.float32)
+        pool_exp = np.ones((W, P), dtype=bool)
+        pool_nodes[:, 0] = eps
+        pool_sims[:, 0] = np.einsum("wd,wd->w", self._unit_rows(eps), Q)
+        pool_exp[:, 0] = False
+        # BITPACKED visited map: (W, width/8) uint8 — 8x smaller than a
+        # bool map, which keeps it AND the vector table resident in L3
+        # (the unpacked map measured ~2x on the whole beam from cache
+        # thrash alone). Duplicate set-bits within one scatter are
+        # last-write-wins; a lost bit only means one node may be scored
+        # twice, which the end-of-search dedup already tolerates.
+        visited = np.zeros((W, (width >> 3) + 1), dtype=np.uint8)
+        visited[np.arange(W), eps >> 3] = (1 << (eps & 7)).astype(np.uint8)
+        col = np.arange(m0)
+        NEG = -np.inf
+        while True:
+            frontier = np.where(pool_exp, NEG, pool_sims)
+            act = np.flatnonzero((frontier > NEG).any(axis=1))
+            if len(act) == 0:
+                break
+            A = len(act)
+            E = int(min(P, self.ADAPT_E_CAP, max(E0, (W * E0) // A)))
+            sub_front = frontier[act]
+            if E < P:
+                pick = np.argpartition(-sub_front, E - 1, axis=1)[:, :E]
+            else:
+                pick = np.tile(np.arange(P), (A, 1))
+            picked_valid = np.take_along_axis(sub_front, pick, axis=1) > NEG
+            pops = np.take_along_axis(pool_nodes[act], pick, axis=1)
+            pool_exp[act[:, None], pick] = True
+            safe_pops = np.where(picked_valid, pops, 0)
+            nb_all = link0[safe_pops]  # (A, E, m0) int32 (stale past cnt)
+            valid_all = picked_valid[:, :, None] & (
+                col[None, None, :] < cnt0[safe_pops][:, :, None]
+            )
+            # one 3-D visited gather (stale/invalid slots hold real node
+            # ids, so the unmasked gather is safe). A neighbor shared by
+            # two pops of the SAME iteration slips through as a duplicate
+            # — accepted: dup rate is a few %, duplicate pool entries
+            # cost one wasted slot + a no-op re-expansion (visited blocks
+            # re-adding), and the final per-row pass drops them from the
+            # returned top-ef. An exact per-iteration sort-dedup measured
+            # ~35% of the whole beam — not worth it.
+            vis_bytes = visited[act[:, None, None], nb_all >> 3]
+            fresh = valid_all & (
+                (vis_bytes >> (nb_all & 7).astype(np.uint8)) & 1 == 0
+            )
+            ai, ei, mi = np.nonzero(fresh)
+            if len(ai) == 0:
+                continue
+            nodes_flat = nb_all[ai, ei, mi]
+            visited[act[ai], nodes_flat >> 3] |= (
+                1 << (nodes_flat & 7)
+            ).astype(np.uint8)
+            # score ONLY the fresh neighbors: one flat row-wise mat-vec
+            sims_flat = np.einsum(
+                "nd,nd->n", self._unit_rows(nodes_flat), Q[act[ai]]
+            ).astype(np.float32, copy=False)
+            # scatter the ragged per-row candidates into a padded block
+            counts = np.bincount(ai, minlength=A)
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            pos = np.arange(len(ai)) - starts[ai]
+            F = int(counts.max())
+            cand_nodes = np.full((A, F), -1, dtype=np.int32)
+            cand_sims = np.full((A, F), NEG, dtype=np.float32)
+            cand_nodes[ai, pos] = nodes_flat
+            cand_sims[ai, pos] = sims_flat
+            all_nodes = np.concatenate([pool_nodes[act], cand_nodes], axis=1)
+            all_sims = np.concatenate([pool_sims[act], cand_sims], axis=1)
+            all_exp = np.concatenate([pool_exp[act], cand_nodes < 0], axis=1)
+            keep = np.argpartition(-all_sims, P - 1, axis=1)[:, :P]
+            pool_nodes[act] = np.take_along_axis(all_nodes, keep, axis=1)
+            pool_sims[act] = np.take_along_axis(all_sims, keep, axis=1)
+            pool_exp[act] = np.take_along_axis(all_exp, keep, axis=1)
+        order = np.argsort(-pool_sims, axis=1, kind="stable")
+        out_nodes = np.take_along_axis(pool_nodes, order, axis=1).astype(np.int64)
+        out_sims = np.take_along_axis(pool_sims, order, axis=1)
+        # drop within-iteration duplicate survivors: a node's duplicates
+        # share one sim, so after the desc sort they sit inside the same
+        # equal-sim run — one stable per-row node-sort finds them
+        key_order = np.argsort(out_nodes, axis=1, kind="stable")
+        by_node = np.take_along_axis(out_nodes, key_order, axis=1)
+        dup_sorted = by_node[:, 1:] == by_node[:, :-1]
+        if dup_sorted.any():
+            dup = np.zeros_like(out_nodes, dtype=bool)
+            np.put_along_axis(
+                dup,
+                key_order[:, 1:],
+                dup_sorted & (by_node[:, 1:] >= 0),
+                axis=1,
+            )
+            out_sims = np.where(dup, -np.inf, out_sims)
+            out_nodes = np.where(dup, -1, out_nodes)
+            reorder = np.argsort(-out_sims, axis=1, kind="stable")
+            out_nodes = np.take_along_axis(out_nodes, reorder, axis=1)
+            out_sims = np.take_along_axis(out_sims, reorder, axis=1)
+        return out_nodes, out_sims
+
+    def _select_diverse_batch(
+        self, nodes: np.ndarray, sims: np.ndarray, m: int
+    ) -> np.ndarray:
+        """Vectorized heuristic neighbor selection (HNSW alg. 4 +
+        keepPrunedConnections), run in LOCKSTEP across W candidate rows:
+        candidate column i is occluded when it sits closer to an
+        already-selected candidate than to the query. Candidates arrive
+        desc-sorted; returns a bool selection mask with <= m per row —
+        same rule as the sequential _select_diverse."""
+        W, C = nodes.shape
+        valid = nodes >= 0
+        V = self._unit_rows2(np.where(valid, nodes, 0))
+        S = np.matmul(V, V.transpose(0, 2, 1))
+        selmask = np.zeros((W, C), dtype=bool)
+        nsel = np.zeros(W, dtype=np.int64)
+        for i in range(C):
+            occ = (
+                np.where(selmask, S[:, i, :], -np.inf) >= sims[:, i, None]
+            ).any(axis=1)
+            take = valid[:, i] & ~occ & (nsel < m)
+            selmask[:, i] = take
+            nsel += take
+        # keepPrunedConnections backfill with the best skipped candidates
+        skipped = valid & ~selmask
+        crank = np.cumsum(skipped, axis=1)
+        backfill = skipped & (crank <= (m - nsel)[:, None])
+        return selmask | backfill
+
+    def _add_links_batch(self, dst: np.ndarray, src: np.ndarray) -> None:
+        """Batched layer-0 back-link reconciliation: append where slots
+        remain; overflowing targets take ONE padded batched keep-closest
+        prune (the same overflow rule as _link_back)."""
+        m0 = self.m0
+        order = np.argsort(dst, kind="stable")
+        dst, src = dst[order], src[order]
+        uniq, start, counts = np.unique(dst, return_index=True, return_counts=True)
+        pos_in_grp = np.arange(len(dst)) - np.repeat(start, counts)
+        over = counts + self.cnt0[uniq] > m0
+        easy = np.repeat(~over, counts)
+        if easy.any():
+            de, se = dst[easy], src[easy]
+            slot = self.cnt0[de] + pos_in_grp[easy]
+            self.link0[de, slot] = se.astype(np.int32)
+            self.cnt0[uniq[~over]] += counts[~over].astype(np.int32)
+        if not over.any():
+            return
+        o_uniq, o_counts, o_start = uniq[over], counts[over], start[over]
+        T = len(o_uniq)
+        K = m0 + int(o_counts.max())
+        cand = np.full((T, K), -1, dtype=np.int64)
+        cand[:, :m0] = self.link0[o_uniq]
+        cand[:, :m0][np.arange(m0)[None, :] >= self.cnt0[o_uniq][:, None]] = -1
+        rr = np.repeat(np.arange(T), o_counts)
+        cc = m0 + (
+            np.arange(int(o_counts.sum()))
+            - np.repeat(np.cumsum(o_counts) - o_counts, o_counts)
+        )
+        flat_src = np.concatenate(
+            [src[s : s + c] for s, c in zip(o_start, o_counts)]
+        )
+        cand[rr, cc] = flat_src
+        cvalid = cand >= 0
+        qt = self._unit_rows(o_uniq)
+        sims = np.einsum("tkd,td->tk", self._unit_rows2(np.where(cvalid, cand, 0)), qt)
+        sims = np.where(cvalid, sims, -np.inf)
+        keep = np.argsort(-sims, axis=1, kind="stable")[:, :m0]
+        kept = np.take_along_axis(cand, keep, axis=1)
+        kvalid = kept >= 0
+        self.link0[o_uniq] = np.where(kvalid, kept, 0).astype(np.int32)
+        self.cnt0[o_uniq] = kvalid.sum(axis=1).astype(np.int32)
+
+    # worker threads for the wave's frozen-graph searches (the Lucene
+    # 9.8 concurrent-merge HnswGraphBuilder analog: N workers build ONE
+    # segment's graph). The searches are pure reads of the frozen
+    # snapshot; link mutation stays single-threaded. numpy releases the
+    # GIL on the hot gathers/reductions, measured ~1.9x at 4 threads.
+    # Default 1: inside a Spark build task the executor already runs one
+    # task per core, so intra-task threads would oversubscribe unless
+    # spark.task.cpus is raised to match.
+    BUILD_THREADS = 1
+    # below this frozen-graph size a wave's candidate search runs EXACT:
+    # one BLAS sgemm of the wave queries against every inserted vector +
+    # a sampled-threshold top-C cut. At 64-d the gemm overtakes the beam
+    # under ~150-200k nodes (and parallelizes through OpenBLAS), and the
+    # candidates are EXACT top-C — construction quality can only match
+    # or beat the sequential insert path. Larger frozen graphs fall back
+    # to the lockstep beam (the 1M+-vector shard path).
+    BRUTE_N_MAX = 200_000
+    # upper layers use the same exact-brute candidates while the layer
+    # membership is small (it is n/m^level — tiny until huge shards)
+    UPPER_BRUTE_MAX = 50_000
+    # adaptive pop-width ceiling: expanding too many frontier entries of
+    # ONE query in a single iteration inflates within-iteration duplicate
+    # neighbors (they dodge the visited check) and wastes score volume
+    ADAPT_E_CAP = 100
+    # intra-wave brute candidates per node and selection gram width
+    INTRA_T = 16
+    SELECT_C = 64
+
+    def _batch_search_threaded(
+        self, Q: np.ndarray, ef: int, width: int, expand: int = 4
+    ) -> tuple[np.ndarray, np.ndarray]:
+        T = max(1, int(self.BUILD_THREADS))
+        W = len(Q)
+        if T == 1 or W < 2 * T:
+            return self._batch_search_layer0(Q, ef, width, expand)
+        from concurrent.futures import ThreadPoolExecutor
+
+        bounds = np.linspace(0, W, T + 1).astype(int)
+        slices = [slice(a, b) for a, b in zip(bounds[:-1], bounds[1:]) if b > a]
+        with ThreadPoolExecutor(max_workers=len(slices)) as ex:
+            parts = list(
+                ex.map(
+                    lambda s: self._batch_search_layer0(Q[s], ef, width, expand),
+                    slices,
+                )
+            )
+        return (
+            np.concatenate([p[0] for p in parts], axis=0),
+            np.concatenate([p[1] for p in parts], axis=0),
+        )
+
+    def _brute_topC(
+        self, Q: np.ndarray, n_frozen: int, C: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """EXACT wave candidates: one sgemm of the wave queries against
+        every frozen vector, then a per-row top-C cut. A naive
+        per-row argpartition over (W, n) measured ~20x the gemm itself,
+        so the cut uses a SAMPLED THRESHOLD: estimate each row's C-th
+        value from a strided column sample, keep entries above it
+        (~2C survivors), and run the exact partition on the survivors
+        only; rows whose sample misjudged fall back to an exact per-row
+        partition. Returns ((W, C) int64 nodes desc-sorted by sim with
+        -1 padding, (W, C) float32 sims)."""
+        W = len(Q)
+        C = min(C, n_frozen)
+        if self.dtype == "int8":
+            Vt = self.vecs[:n_frozen].astype(np.float32) * self.inv_norm[
+                :n_frozen, None
+            ]
+        else:
+            Vt = self.vecs[:n_frozen]
+        S = Q @ Vt.T  # (W, n_frozen) — BLAS
+        out_nodes = np.full((W, C), -1, dtype=np.int64)
+        out_sims = np.full((W, C), -np.inf, dtype=np.float32)
+
+        def exact_rows(rows):
+            for r in rows:
+                top = np.argpartition(-S[r], C - 1)[:C]
+                order = np.argsort(-S[r, top], kind="stable")
+                out_nodes[r] = top[order]
+                out_sims[r] = S[r, top[order]]
+
+        if n_frozen <= 8 * C:
+            exact_rows(range(W))
+            return out_nodes, out_sims
+        step = max(1, n_frozen // 2048)
+        samp = S[:, ::step]
+        k = samp.shape[1]
+        kth = min(k - 1, max(1, int(C * k / n_frozen * 2) + 1))
+        thr = np.partition(samp, k - kth, axis=1)[:, k - kth]
+        mask = S > thr[:, None]
+        cnt = mask.sum(axis=1)
+        bad = (cnt < C) | (cnt > 16 * C)
+        good = np.flatnonzero(~bad)
+        if len(good):
+            mask[np.flatnonzero(bad)] = False
+            ri, ci = np.nonzero(mask)
+            counts = np.bincount(ri, minlength=W)
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            pos = np.arange(len(ri)) - starts[ri]
+            Fm = int(counts.max())
+            pad_s = np.full((W, Fm), -np.inf, dtype=np.float32)
+            pad_n = np.full((W, Fm), -1, dtype=np.int64)
+            pad_s[ri, pos] = S[ri, ci]
+            pad_n[ri, pos] = ci
+            kk = min(C, Fm)
+            keep = np.argpartition(-pad_s, kk - 1, axis=1)[:, :kk]
+            kn = np.take_along_axis(pad_n, keep, axis=1)
+            ks = np.take_along_axis(pad_s, keep, axis=1)
+            order = np.argsort(-ks, axis=1, kind="stable")
+            kn = np.take_along_axis(kn, order, axis=1)
+            ks = np.take_along_axis(ks, order, axis=1)
+            out_nodes[good, :kk] = kn[good]
+            out_sims[good, :kk] = ks[good]
+        exact_rows(np.flatnonzero(bad))
+        return out_nodes, out_sims
+
+    def _insert_wave(self, idxs: np.ndarray) -> None:
+        """Insert a wave of level-0 nodes: one batched frozen-graph
+        search for neighbor candidates, a brute intra-wave top-m pass
+        (wave peers can't see each other's links yet — this is what
+        keeps near-duplicate/clustered inserts linked), vectorized
+        diversity selection, then batched link writes + back-links."""
+        W = len(idxs)
+        m = self.m
+        Q = self._unit_rows(idxs)
+        n_frozen = int(idxs[0])
+        if n_frozen <= self.BRUTE_N_MAX:
+            nodes, sims = self._brute_topC(Q, n_frozen, self.ef_c)
+        else:
+            nodes, sims = self._batch_search_threaded(
+                Q, self.ef_c, width=int(idxs.max()) + 1, expand=4
+            )
+        if W > 1:
+            Sww = (Q @ Q.T).astype(np.float32)
+            np.fill_diagonal(Sww, -np.inf)
+            t = min(self.INTRA_T, W - 1)
+            part = np.argpartition(-Sww, t - 1, axis=1)[:, :t]
+            wave_nodes = idxs[part]
+            wave_sims = np.take_along_axis(Sww, part, axis=1)
+            nodes = np.concatenate([nodes, wave_nodes], axis=1)
+            sims = np.concatenate([sims, wave_sims.astype(np.float32)], axis=1)
+        # desc-sort merged candidates, truncate for the gram matrix
+        C = min(nodes.shape[1], max(self.SELECT_C, 3 * m))
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :C]
+        nodes = np.take_along_axis(nodes, order, axis=1)
+        sims = np.take_along_axis(sims, order, axis=1)
+        selmask = self._select_diverse_batch(nodes, sims, m)
+        w_idx, c_idx = np.nonzero(selmask)
+        slot = (np.cumsum(selmask, axis=1) - 1)[w_idx, c_idx]
+        chosen = nodes[w_idx, c_idx]
+        self.link0[idxs[w_idx], slot] = chosen.astype(np.int32)
+        self.cnt0[idxs] = selmask.sum(axis=1).astype(np.int32)
+        if len(w_idx):
+            self._add_links_batch(chosen, idxs[w_idx])
+
+    def search_batch(
+        self, qvecs: np.ndarray, k: int, ef: int | None = None
+    ) -> list[list]:
+        """Batched multi-query serving: ONE lockstep vectorized beam for
+        all queries against this graph (amortizes per-hop overhead the
+        same way wave construction does). Returns per-query
+        [(id, cosine)] top-k, best first — the building block of
+        hnsw_topk_batch's one-wave-of-shard-tasks plan. Query batches
+        are chunked to the visited-bitmap budget."""
+        if self.n == 0 or self.entry < 0:
+            return [[] for _ in range(len(qvecs))]
+        ef = max(ef or 4 * k, k)
+        Q = np.asarray(qvecs, dtype=np.float32)
+        Q = Q / np.maximum(
+            np.linalg.norm(Q, axis=1, keepdims=True), 1e-12
+        )
+        cap = max(16, self.VISITED_BUDGET_BYTES // max(self.n, 1))
+        out: list[list] = []
+        for off in range(0, len(Q), cap):
+            nodes, sims = self._batch_search_threaded(
+                Q[off : off + cap], ef, width=self.n, expand=4
+            )
+            for r in range(len(nodes)):
+                valid = nodes[r] >= 0
+                nn, ss = nodes[r][valid][:k], sims[r][valid][:k]
+                out.append(
+                    [(int(self.ids[n]), float(s)) for n, s in zip(nn, ss)]
+                )
+        return out
 
     def _greedy(self, q: np.ndarray, ep: int, layer: int) -> int:
         cur = ep
@@ -695,4 +1233,57 @@ def hnsw_topk(
         tasks.mapInPandas(probe, schema="id long, cos double")
         .orderBy(F.desc("cos"), F.asc("id"))
         .limit(k)
+    )
+
+
+def hnsw_topk_batch(
+    spark: SparkSession,
+    index_dir: str,
+    qvecs: np.ndarray,
+    k: int = 10,
+    ef: int | None = None,
+) -> DataFrame:
+    """(qid, id, cos) top-k PER QUERY for a whole batch of queries in ONE
+    wave of shard tasks — the batched-serving shape that amortizes the
+    per-task floor (task launch + plan) across the batch: each shard
+    task opens its cached graph once and answers EVERY query with the
+    lockstep vectorized multi-query beam (HnswGraph.search_batch, the
+    same kernel wave construction uses), so B queries cost one task wave
+    instead of B. Per-query candidates from all shards (B x shards x k
+    rows — tiny) merge with a row_number window, exactly the per-segment
+    KnnVectorQuery collector merge done once per query."""
+    from pyspark.sql.window import Window
+
+    Qm = np.asarray(qvecs, dtype=np.float64)
+    if Qm.ndim != 2:
+        raise ValueError("qvecs must be (n_queries, dim)")
+    qlist = Qm.tolist()
+    meta = _read_index_meta(spark, index_dir)
+    shards, build_id = meta["shards"], meta["build_id"]
+
+    def probe(batches, _q=qlist, _k=k, _ef=ef, _dir=index_dir, _bid=build_id):
+        qarr = np.asarray(_q, dtype=np.float32)
+        for pdf in batches:
+            for sh in pdf["shard"].tolist():
+                g = _graph_for_shard(_dir, int(sh), _bid)
+                per_q = g.search_batch(qarr, _k, _ef)
+                qid, ids, cos = [], [], []
+                for qi, hits in enumerate(per_q):
+                    for i, c in hits:
+                        qid.append(qi)
+                        ids.append(i)
+                        cos.append(c)
+                if qid:
+                    yield pd.DataFrame({"qid": qid, "id": ids, "cos": cos})
+
+    rdd = spark.sparkContext.parallelize(
+        [(int(s),) for s in shards], max(len(shards), 1)
+    )
+    tasks = spark.createDataFrame(rdd, "shard int")
+    cand = tasks.mapInPandas(probe, schema="qid int, id long, cos double")
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
     )

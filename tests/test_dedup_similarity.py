@@ -384,3 +384,36 @@ def test_hnsw_byte_vectors(spark, tmp_path):
     approx = {r["id"] for r in hnsw_topk(spark, out, q, 10, ef=128).collect()}
     exact = set(np.argsort(-sims, kind="stable")[:10].tolist())
     assert len(approx & exact) >= 9
+
+
+def test_hnsw_topk_batch(spark, tmp_path):
+    """Batched KNN serving: one wave of shard tasks answers a whole
+    query batch; per-query results must match the single-query path's
+    quality (>= 9/10 overlap vs exact per query) and return exactly k
+    rows per qid."""
+    import numpy as np
+    import pandas as pd
+
+    from lucene_rust_spark.operators.hnsw import build_hnsw_index, hnsw_topk_batch
+
+    rng = np.random.default_rng(11)
+    n, dim, B = 3000, 24, 16
+    X = rng.standard_normal((n, dim)).astype(np.float32)
+    emb = spark.createDataFrame(
+        pd.DataFrame({"id": np.arange(n), "embedding": [r.tolist() for r in X]})
+    )
+    out = str(tmp_path / "hnsw_batch")
+    build_hnsw_index(emb, out, n_shards=4, m=12, ef_construction=80)
+
+    Q = rng.standard_normal((B, dim)).astype(np.float32)
+    rows = hnsw_topk_batch(spark, out, Q, k=10, ef=128).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r["id"])
+    assert set(by_q) == set(range(B))
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    for qi in range(B):
+        assert len(by_q[qi]) == 10
+        qn = Q[qi] / np.linalg.norm(Q[qi])
+        exact = set(np.argsort(-(Xn @ qn), kind="stable")[:10].tolist())
+        assert len(set(by_q[qi]) & exact) >= 9, qi

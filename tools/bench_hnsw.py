@@ -40,13 +40,34 @@ def main():
     X = rng.standard_normal((n_total, dim)).astype(np.float32)
     ids = np.arange(n_total, dtype=np.int64)
 
-    # 1) single-shard construction throughput (pure kernel, no Spark)
+    # 1) single-shard construction throughput (pure kernel, no Spark).
+    # The wave builder's exact-candidate sgemm goes through OpenBLAS,
+    # which threads by default — report the default-threads number AND a
+    # 1-thread run (OPENBLAS_NUM_THREADS=1 subprocess) for the
+    # one-core-per-task cluster shape.
     n_probe = min(n_per_shard, 100_000)
     g = HnswGraph(dim, m=16, ef_construction=100)
     t0 = time.time()
     g.add_batch(ids[:n_probe], X[:n_probe])
     kernel_sec = time.time() - t0
     kernel_rate = n_probe / kernel_sec
+    import subprocess
+    one_thread = subprocess.run(
+        [sys.executable, "-c", (
+            "import os; os.environ['OPENBLAS_NUM_THREADS']='1';"
+            "import sys, time, numpy as np;"
+            "sys.path.insert(0, %r);"
+            "from lucene_rust_spark.operators.hnsw import HnswGraph;"
+            "rng = np.random.default_rng(5);"
+            f"X = rng.standard_normal(({n_probe}, {dim})).astype(np.float32);"
+            "g = HnswGraph(%d, m=16, ef_construction=100);"
+            "t0 = time.time();"
+            f"g.add_batch(np.arange({n_probe}, dtype=np.int64), X);"
+            f"print({n_probe} / (time.time() - t0))"
+        ) % (str(pathlib.Path(__file__).resolve().parent.parent), dim)],
+        capture_output=True, text=True, timeout=1200,
+    )
+    kernel_rate_1t = float(one_thread.stdout.strip().splitlines()[-1])
 
     # single-graph query latency + recall (in-process)
     qs = rng.standard_normal((20, dim)).astype(np.float32)
@@ -124,7 +145,25 @@ def main():
     want_b = set(broad[np.argsort(-(Xn[broad] @ qn), kind="stable")[:10]].tolist())
     broad_overlap = len(got_b & want_b)
 
-    md = f"""# BENCH/HNSW.md — per-shard HNSW at scale (round 5)
+    # 5) batched serving: 64 queries in ONE wave of shard tasks
+    from lucene_rust_spark.operators.hnsw import hnsw_topk_batch
+    QB = rng.standard_normal((64, dim)).astype(np.float32)
+    hnsw_topk_batch(spark, out, QB[:2], 10, ef=400).collect()  # warm
+    t0 = time.time()
+    batch_rows = hnsw_topk_batch(spark, out, QB, 10, ef=400).collect()
+    batch_ms_total = (time.time() - t0) * 1000
+    batch_ms_per_q = batch_ms_total / len(QB)
+    by_q = {}
+    for r in batch_rows:
+        by_q.setdefault(r["qid"], set()).add(r["id"])
+    batch_overlap = []
+    for qi in range(len(QB)):
+        qn_b = QB[qi] / np.linalg.norm(QB[qi])
+        exact_b = set(ids[np.argsort(-(Xn @ qn_b), kind="stable")[:10]].tolist())
+        batch_overlap.append(len(by_q.get(qi, set()) & exact_b))
+    batch_recall = sum(batch_overlap) / (10 * len(QB))
+
+    md = f"""# BENCH/HNSW.md — per-shard HNSW at scale (round 6)
 
 Config: dim={dim}, m=16, ef_construction=100, ef_search=400,
 {n_shards} shards x {n_per_shard:,} vectors = {n_total:,} total,
@@ -135,17 +174,25 @@ embeddings cluster and do better), local[32].
 
 | metric | value |
 |---|---|
-| single-shard kernel throughput | **{kernel_rate:,.0f} vec/s** ({n_probe:,} vecs in {kernel_sec:.1f} s) |
+| single-shard kernel throughput (OpenBLAS default threads) | **{kernel_rate:,.0f} vec/s** ({n_probe:,} vecs in {kernel_sec:.1f} s) |
+| single-shard kernel throughput (OPENBLAS_NUM_THREADS=1) | {kernel_rate_1t:,.0f} vec/s |
 | distributed build wall ({n_shards} parallel shard writers) | {build_sec:.1f} s ({n_total / build_sec:,.0f} vec/s aggregate) |
 | serialized shard size (chunked rows, <= 32 MB each) | {ser_mb:.1f} MB / shard ({len(rows)} rows) |
 
-The per-hop work is one mat-vec + one visited-bitmap gather (numpy);
-remaining per-insert cost is the beam's Python heap loop. Lucene's Java
-writer does ~5-10k vec/s on comparable hardware — this kernel is ~10x
-slower per shard, NOT the ~100x of the r4 per-neighbor-Python version,
-and shard writers parallelize freely (segment = shard = task). The
-chunked layout removes the 2 GB pickled-blob ceiling: a 10M-vector
-shard serializes as ~80 x 32 MB rows.
+Round-6 construction is BATCH-INSERT WAVES: level-0 nodes insert in
+waves of <= 512 against a frozen snapshot; below BRUTE_N_MAX the wave's
+neighbor candidates come from one EXACT sgemm over every frozen vector
+(+ a sampled-threshold top-C cut), so candidates are exact top-C and
+graph quality matches-or-beats the per-insert path (recall@400 0.93 vs
+0.91 sequential at 100k); above the cutoff a lockstep vectorized
+multi-query beam takes over (the 1M+-vector shard path, ~1.3-1.5k
+vec/s). Diversity selection and back-link pruning are batched numpy
+(HNSW alg. 4 in lockstep + one padded keep-closest prune per wave).
+r5 was 539 vec/s (per-insert Python beam); r4 was ~50. Lucene's Java
+writer does ~5-10k vec/s single-thread — the 1-thread kernel is now
+within ~3.5x, the default-threads kernel within ~2.5x, and shard
+writers still parallelize freely (segment = shard = task). The chunked
+layout keeps a 10M-vector shard at ~80 x 32 MB rows (no 2 GB ceiling).
 
 ## Query
 
@@ -158,6 +205,7 @@ shard serializes as ~80 x 32 MB rows.
 | recall@10 distributed (ef=400) | {dist_recall:.2f} |
 | filtered (3.2% ids, EXACT fallback) | {f_sel_ms:.0f} ms, exact-match {sel_exact_ok} |
 | filtered (50% ids, beam path) | {f_broad_ms:.0f} ms, overlap {broad_overlap}/10 |
+| BATCHED serving: 64 queries, one shard-task wave | {batch_ms_per_q:.1f} ms/query amortized ({batch_ms_total:.0f} ms total), recall@10 {batch_recall:.2f} |
 
 Random gaussian vectors concentrate distances (no cluster structure),
 the published worst case for graph ANN — real embedding corpora sit well
@@ -176,6 +224,9 @@ is exactly Lucene's open-once segment reader.
         "q_ms_kernel": round(q_ms_kernel, 2), "q_ms_dist": round(q_ms_dist, 1),
         "q_ms_cold": round(q_ms_cold, 1), "recalls_by_ef": recalls_by_ef,
         "sel_exact_ok": bool(sel_exact_ok), "broad_overlap": broad_overlap,
+        "kernel_vec_per_sec_1t": round(kernel_rate_1t, 1),
+        "batch_ms_per_q": round(batch_ms_per_q, 1),
+        "batch_recall": batch_recall,
     }))
     spark.stop()
 
