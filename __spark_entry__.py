@@ -654,9 +654,24 @@ def _engine_count_threshold(spark, sf_dir):
     n, rel = s.count_with_threshold({"type": "term", "term": "merge"}, threshold=50)
     return spark.createDataFrame([(int(n), rel)], "n_hits long, relation string")
 
+def _sf01_engine_bm25(spark, sf_dir):
+    """The engine postings-scoring gate pinned to the sf0.1 bench corpus
+    (5,000-doc index via gate_searcher's on-disk cache): FOR-block
+    decode, SmallFloat norms, df/sum_ttf — verified at bench scale, not
+    just the 500-row toy corpus."""
+    return _engine_bm25_scores(spark, "/root/testdata/sf0.1")
+
+
 _ENGINE_QUERIES = {
     "engine_bool_counts": (_engine_bool_counts, SQL_ENGINE_BOOL_COUNTS),
     "engine_bm25_scores": (_engine_bm25_scores, SQL_ENGINE_BM25_SCORES),
+    "sf01_engine_bm25": (
+        _sf01_engine_bm25,
+        SQL_ENGINE_BM25_SCORES.replace(
+            "FROM documents",
+            "FROM read_parquet('/root/testdata/sf0.1/documents.parquet')",
+        ),
+    ),
     "engine_synonym_scores": (_engine_synonym_scores, SQL_ENGINE_SYNONYM_SCORES),
     "engine_blended_scores": (_engine_blended_scores, SQL_ENGINE_BLENDED_SCORES),
     "engine_indri_and_scores": (_engine_indri_and_scores, SQL_ENGINE_INDRI_AND_SCORES),

@@ -329,18 +329,29 @@ SQL_FT_TOPK_BY_TF = (
 
 
 def dedup_exact(spark, sf_dir):
-    """Exact dedup: md5(text) hash-groupBy; groups with >1 member."""
+    """Exact dedup: md5(text) hash-groupBy; groups with >1 member. The
+    gate corpus has no byte-identical duplicates, so both sides union in
+    a deterministic shifted copy of every 50th doc (doc_id + 10_000_000)
+    — the positive path (cnt > 1 groups, keeper selection) is exercised
+    with real rows instead of matching vacuously on an empty set."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    seeded = d.unionByName(
+        d.filter(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+        )
+    )
     return (
-        _docs(spark, sf_dir)
-        .groupBy(F.md5(F.col("text")).alias("h"))
+        seeded.groupBy(F.md5(F.col("text")).alias("h"))
         .agg(F.count("*").cast("long").alias("cnt"), F.min("doc_id").alias("keeper"))
         .filter(F.col("cnt") > 1)
     )
 
 
 SQL_DEDUP_EXACT = (
+    "WITH seeded AS (SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 50 = 0) "
     "SELECT md5(text) AS h, count(*)::BIGINT AS cnt, min(doc_id) AS keeper "
-    "FROM documents GROUP BY md5(text) HAVING count(*) > 1"
+    "FROM seeded GROUP BY md5(text) HAVING count(*) > 1"
 )
 
 
@@ -1088,6 +1099,208 @@ ORDER BY user_id, s_start
 
 
 # ---------------------------------------------------------------------------
+# Multimodal gates — deterministic BMP / WAV payloads keyed by doc_id,
+# pushed through the REAL format decoders (operators/multimodal.py), with
+# the DuckDB oracle recomputing the statistics from the same closed-form
+# pixel/sample formulas. Any encoder/decoder bug (stride, bottom-up flip,
+# palette lookup, chunk walk, channel order) breaks the value match.
+# ---------------------------------------------------------------------------
+
+
+def _gen_bmp_media(spark, sf_dir):
+    """One BMP per doc: even doc_ids 24-bit BGR, odd doc_ids 8-bit
+    paletted — both real uncompressed BITMAPINFOHEADER files."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from lucene_rust_spark.operators.multimodal import encode_bmp8, encode_bmp24
+
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "kind", "data", "width", "height",
+                                    "sample_rate", "duration_ms", "codec")}
+            for d in pdf["doc_id"].tolist():
+                d = int(d)
+                w, h = 8 + d % 9, 8 + (d * 7) % 9
+                i = np.arange(w * h, dtype=np.int64)
+                if d % 2 == 0:
+                    base = (d * 37 + i * 101) % 256
+                    bgr = (
+                        np.stack([base, (base + 85) % 256, (base + 170) % 256], axis=1)
+                        .astype(np.uint8)
+                        .reshape(h, w, 3)
+                    )
+                    data = encode_bmp24(bgr)
+                else:
+                    idx = ((d + i * 13) % 256).astype(np.uint8).reshape(h, w)
+                    j = np.arange(256, dtype=np.int64)
+                    pal = np.stack([j, (j * 3) % 256, (j * 7) % 256], axis=1).astype(
+                        np.uint8
+                    )
+                    data = encode_bmp8(idx, pal)
+                rows["media_id"].append(d)
+                rows["kind"].append("image")
+                rows["data"].append(data)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sample_rate"].append(0)
+                rows["duration_ms"].append(0)
+                rows["codec"].append("bmp")
+            yield pd.DataFrame(rows)
+
+    from lucene_rust_spark.operators.multimodal import MEDIA_SCHEMA
+
+    return docs.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def media_bmp_luma(spark, sf_dir):
+    """BMP decode gate: encode → _decode_bmp → integer luma statistics,
+    vs the oracle's closed-form recomputation. luma_wsum is position-
+    weighted so the bottom-up flip and row padding are load-bearing."""
+    from lucene_rust_spark.operators.multimodal import image_luma_stats
+
+    return image_luma_stats(_gen_bmp_media(spark, sf_dir)).select(
+        F.col("media_id").alias("doc_id"), "n_px", "luma_sum", "luma_wsum"
+    )
+
+
+SQL_MEDIA_BMP_LUMA = """
+WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id*7) % 9 AS h FROM documents),
+px AS (
+  SELECT doc_id, i,
+    CASE WHEN doc_id % 2 = 0 THEN
+      (299*(((doc_id*37 + i*101) % 256 + 170) % 256)
+       + 587*(((doc_id*37 + i*101) % 256 + 85) % 256)
+       + 114*((doc_id*37 + i*101) % 256)) // 1000
+    ELSE
+      (299*((((doc_id + i*13) % 256)*7) % 256)
+       + 587*((((doc_id + i*13) % 256)*3) % 256)
+       + 114*((doc_id + i*13) % 256)) // 1000
+    END AS gray
+  FROM d, unnest(generate_series(0, w*h - 1)) AS u(i)
+)
+SELECT doc_id, count(*)::BIGINT AS n_px, sum(gray)::BIGINT AS luma_sum,
+       sum(gray*(i+1))::BIGINT AS luma_wsum
+FROM px GROUP BY doc_id
+"""
+
+
+def _gen_wav_media(spark, sf_dir):
+    """One PCM16 mono WAV per doc (rate 8000); odd doc_ids carry an
+    odd-sized junk chunk between fmt and data (chunk-walk coverage)."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from lucene_rust_spark.operators.multimodal import encode_wav_pcm16
+
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "kind", "data", "width", "height",
+                                    "sample_rate", "duration_ms", "codec")}
+            for d in pdf["doc_id"].tolist():
+                d = int(d)
+                n = 100 + d % 200
+                i = np.arange(n, dtype=np.int64)
+                samples = ((d * 7919 + i * 104729) % 65536 - 32768).astype(np.int16)
+                rows["media_id"].append(d)
+                rows["kind"].append("audio")
+                rows["data"].append(encode_wav_pcm16(samples, 8000, junk_chunk=d % 2 == 1))
+                rows["width"].append(0)
+                rows["height"].append(0)
+                rows["sample_rate"].append(8000)
+                rows["duration_ms"].append(n * 1000 // 8000)
+                rows["codec"].append("wav")
+            yield pd.DataFrame(rows)
+
+    from lucene_rust_spark.operators.multimodal import MEDIA_SCHEMA
+
+    return docs.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def media_wav_stats(spark, sf_dir):
+    """WAV decode gate through the shipped ``audio_stats`` operator:
+    RIFF chunk walk → PCM16 decode → n_samples / RMS / peak."""
+    from lucene_rust_spark.operators.multimodal import audio_stats
+
+    return audio_stats(_gen_wav_media(spark, sf_dir)).select(
+        F.col("media_id").alias("doc_id"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.round("rms", 4).alias("rms"),
+        "peak",
+    )
+
+
+SQL_MEDIA_WAV_STATS = """
+WITH d AS (SELECT doc_id, 100 + doc_id % 200 AS n FROM documents),
+s AS (
+  SELECT doc_id, ((doc_id*7919 + i*104729) % 65536) - 32768 AS v
+  FROM d, unnest(generate_series(0, n - 1)) AS u(i)
+)
+SELECT doc_id, count(*)::BIGINT AS n_samples,
+       round(sqrt(sum(v*v) / count(*)), 4) AS rms,
+       max(abs(v))::DOUBLE AS peak
+FROM s GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# sf0.1-scale gates — pinned to the bench-scale dataset regardless of the
+# sf the harness passes, so per-round correctness evidence exists at the
+# same scale the benchmarks run at (5,000 docs / 100,000 events), not
+# just the 500-row toy corpus. The oracles read the sf0.1 parquet
+# directly (read_parquet) instead of the harness-registered views.
+# ---------------------------------------------------------------------------
+
+_SF01_DIR = "/root/testdata/sf0.1"
+
+
+def _retarget_sf01(sql: str) -> str:
+    return sql.replace(
+        "FROM documents", f"FROM read_parquet('{_SF01_DIR}/documents.parquet')"
+    ).replace("FROM events", f"FROM read_parquet('{_SF01_DIR}/events.parquet')")
+
+
+def sf01_bm25_scores(spark, sf_dir):
+    """Full BM25 scoring for 'merge' over the 5,000-doc bench corpus."""
+    return _bm25_single(spark, _SF01_DIR, "merge")
+
+
+SQL_SF01_BM25_SCORES = _retarget_sf01(_sql_bm25_single("merge"))
+
+
+def sf01_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH candidate pairs at bench scale (~11.8M pairs),
+    reduced to count + order-insensitive checksum so the full pair set
+    is computed and verified on both sides without shipping 12M rows
+    through the compare harness."""
+    p = dedup_minhash_pairs(spark, _SF01_DIR)
+    return p.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.col("a") * 100003 + F.col("b")).cast("long").alias("chk"),
+    )
+
+
+SQL_SF01_MINHASH_PAIRS = (
+    "SELECT count(*)::BIGINT AS n_pairs, sum(a*100003 + b)::BIGINT AS chk FROM ("
+    + _retarget_sf01(SQL_DEDUP_MINHASH_PAIRS)
+    + ")"
+)
+
+
+def sf01_sessions(spark, sf_dir):
+    """The real streaming sessionizer over 100,000 events / 3 micro-
+    batches — the watermark-closure rule at bench scale."""
+    return events_sessions(spark, _SF01_DIR)
+
+
+SQL_SF01_SESSIONS = _retarget_sf01(SQL_EVENTS_SESSIONS)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1127,4 +1340,9 @@ GATE: dict[str, tuple] = {
     "events_windowed": (events_windowed, SQL_EVENTS_WINDOWED),
     "events_stream_windowed": (events_stream_windowed, SQL_EVENTS_STREAM_WINDOWED),
     "events_sessions": (events_sessions, SQL_EVENTS_SESSIONS),
+    "media_bmp_luma": (media_bmp_luma, SQL_MEDIA_BMP_LUMA),
+    "media_wav_stats": (media_wav_stats, SQL_MEDIA_WAV_STATS),
+    "sf01_bm25_scores": (sf01_bm25_scores, SQL_SF01_BM25_SCORES),
+    "sf01_minhash_pairs": (sf01_minhash_pairs, SQL_SF01_MINHASH_PAIRS),
+    "sf01_sessions": (sf01_sessions, SQL_SF01_SESSIONS),
 }

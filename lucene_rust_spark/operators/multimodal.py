@@ -62,6 +62,86 @@ def gen_media_spark(spark: SparkSession, n_rows: int, n_partitions: int = 8) -> 
     return spark.range(0, n_rows, 1, n_partitions).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def encode_bmp24(bgr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 BGR -> uncompressed 24-bit BMP (BITMAPINFOHEADER,
+    bottom-up, 4-byte row alignment) — the write side of ``_decode_bmp``,
+    used for round-trip tests and the deterministic media gate fixtures."""
+    h, w, _ = bgr.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    px = rows[::-1].tobytes()  # positive height => bottom-up storage
+    off = 14 + 40
+    hdr = (
+        b"BM"
+        + (off + len(px)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(px).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return hdr + px
+
+
+def encode_bmp8(idx: np.ndarray, palette_bgr: np.ndarray) -> bytes:
+    """(h, w) uint8 palette indices + (n, 3) uint8 BGR palette ->
+    uncompressed 8-bit paletted BMP (bottom-up, BGRA palette entries)."""
+    h, w = idx.shape
+    n = len(palette_bgr)
+    stride = (w + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w] = idx
+    px = rows[::-1].tobytes()
+    pal = np.zeros((n, 4), dtype=np.uint8)
+    pal[:, :3] = palette_bgr
+    off = 14 + 40 + 4 * n
+    hdr = (
+        b"BM"
+        + (off + len(px)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (8).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(px).to_bytes(4, "little")
+        + b"\x00" * 8
+        + n.to_bytes(4, "little")  # clrUsed — read by the decoder
+        + b"\x00" * 4
+    )
+    return hdr + pal.tobytes() + px
+
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int, junk_chunk: bool = False) -> bytes:
+    """int16 mono samples -> RIFF/WAVE PCM bytes — the write side of
+    ``_decode_wav``. ``junk_chunk`` inserts an odd-sized unknown chunk
+    between fmt and data to exercise word-aligned chunk walking."""
+    raw = samples.astype("<i2").tobytes()
+    fmt = (
+        (1).to_bytes(2, "little")  # PCM
+        + (1).to_bytes(2, "little")  # mono
+        + rate.to_bytes(4, "little")
+        + (rate * 2).to_bytes(4, "little")  # byte rate
+        + (2).to_bytes(2, "little")  # block align
+        + (16).to_bytes(2, "little")
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    if junk_chunk:
+        chunks += b"jnk " + (5).to_bytes(4, "little") + b"abcde" + b"\x00"
+    chunks += b"data" + len(raw).to_bytes(4, "little") + raw
+    if len(raw) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
 def _decode_bmp(data: bytes) -> np.ndarray:
     """Pure-numpy BMP decoder (r4): uncompressed BITMAPINFOHEADER files,
     24-bit BGR and 8-bit paletted — a REAL standard-format decode with no
@@ -141,6 +221,35 @@ def image_features(media: DataFrame, bins: int = 16) -> DataFrame:
 
     return media.filter(F.col("kind") == "image").mapInPandas(
         kernel, schema="media_id long, feature array<float>"
+    )
+
+
+def image_luma_stats(media: DataFrame) -> DataFrame:
+    """(media_id, n_px, luma_sum, luma_wsum) — integer-exact grayscale
+    statistics through the full decode path. ``luma_wsum`` weights pixel
+    ``i`` (row-major over the logical top-down image) by ``i+1``, so
+    orientation/stride bugs (missed bottom-up flip, wrong row padding)
+    change the value even when the plain sum would not."""
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, npx, ls, lw = [], [], [], []
+            for rid, data, w, h, codec in zip(
+                pdf["media_id"], pdf["data"], pdf["width"], pdf["height"], pdf["codec"]
+            ):
+                img = _decode_image(bytes(data), int(w), int(h), codec)
+                flat = img.astype(np.int64).ravel()
+                i = np.arange(flat.size, dtype=np.int64)
+                ids.append(int(rid))
+                npx.append(int(flat.size))
+                ls.append(int(flat.sum()))
+                lw.append(int((flat * (i + 1)).sum()))
+            yield pd.DataFrame(
+                {"media_id": ids, "n_px": npx, "luma_sum": ls, "luma_wsum": lw}
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        kernel, schema="media_id long, n_px long, luma_sum long, luma_wsum long"
     )
 
 

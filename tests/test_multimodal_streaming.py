@@ -221,3 +221,85 @@ def test_wav_decode_real_format(spark):
     r = audio_stats(media).collect()[0]
     assert r["n_samples"] == 400
     assert abs(r["rms"] - float(np.sqrt(np.mean(mono.astype(np.float64) ** 2)))) < 1e-9
+
+
+def test_bmp_encoder_decoder_roundtrip():
+    """encode_bmp24 / encode_bmp8 -> _decode_bmp recovers the exact
+    BT.601 luma, including non-multiple-of-4 widths (row padding) and
+    the bottom-up flip."""
+    from lucene_rust_spark.operators.multimodal import (
+        _decode_bmp,
+        encode_bmp8,
+        encode_bmp24,
+    )
+
+    rng = np.random.default_rng(7)
+    for w, h in ((5, 3), (8, 8), (13, 2), (1, 7)):
+        bgr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        gray = _decode_bmp(encode_bmp24(bgr))
+        b, g, r = (bgr[..., c].astype(np.int64) for c in range(3))
+        want = ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+        assert gray.shape == (h, w)
+        assert np.array_equal(gray, want)
+
+        idx = rng.integers(0, 16, (h, w), dtype=np.uint8)
+        pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+        gray8 = _decode_bmp(encode_bmp8(idx, pal))
+        p = pal.astype(np.int64)
+        pal_gray = ((299 * p[:, 2] + 587 * p[:, 1] + 114 * p[:, 0]) // 1000).astype(
+            np.uint8
+        )
+        assert np.array_equal(gray8, pal_gray[idx])
+
+
+def test_wav_encoder_decoder_roundtrip():
+    """encode_wav_pcm16 -> _decode_wav is sample-exact, with and without
+    an odd-sized junk chunk between fmt and data (word-aligned walk)."""
+    from lucene_rust_spark.operators.multimodal import _decode_wav, encode_wav_pcm16
+
+    rng = np.random.default_rng(11)
+    for n, junk in ((1, False), (100, False), (257, True)):
+        samples = rng.integers(-(2**15), 2**15, n, dtype=np.int16)
+        pcm, rate = _decode_wav(encode_wav_pcm16(samples, 8000, junk_chunk=junk))
+        assert rate == 8000
+        assert np.array_equal(pcm, samples.astype(np.float64))
+
+
+def test_image_luma_stats_operator(spark):
+    """image_luma_stats through a media DataFrame equals the direct
+    numpy computation, and the position weight detects orientation."""
+    from lucene_rust_spark.operators.multimodal import (
+        _decode_bmp,
+        encode_bmp24,
+        image_luma_stats,
+    )
+
+    rng = np.random.default_rng(3)
+    rows, want = [], {}
+    for mid in range(6):
+        w, h = 4 + mid, 3 + mid
+        bgr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        data = encode_bmp24(bgr)
+        flat = _decode_bmp(data).astype(np.int64).ravel()
+        i = np.arange(flat.size)
+        want[mid] = (flat.size, int(flat.sum()), int((flat * (i + 1)).sum()))
+        rows.append((mid, "image", bytearray(data), w, h, 0, 0, "bmp"))
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, data binary, width int, height int,"
+        " sample_rate int, duration_ms int, codec string",
+    )
+    got = {
+        r["media_id"]: (r["n_px"], r["luma_sum"], r["luma_wsum"])
+        for r in image_luma_stats(media).collect()
+    }
+    assert got == want
+    # a flipped (top-down stored) image must change luma_wsum but not luma_sum
+    any_mid = 5
+    _, s, wsum = want[any_mid]
+    flipped = np.ascontiguousarray(
+        _decode_bmp(bytes(rows[any_mid][2]))[::-1]
+    ).astype(np.int64).ravel()
+    i = np.arange(flipped.size)
+    assert int(flipped.sum()) == s
+    assert int((flipped * (i + 1)).sum()) != wsum
