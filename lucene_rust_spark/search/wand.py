@@ -246,18 +246,9 @@ def _plan_driver(searcher, all_blocks: DataFrame, scoring, stats, k):
         if len(sc) < k:
             continue  # fewer than k distinct live docs in evidence
         theta = max(theta, float(np.partition(sc, -k)[-k]))
-    if len(scoring) > 1:
-        theta = max(
-            theta,
-            _theta_from_partials(searcher, stats, term_a, ubs, n_a, seg_a, bno_a, k),
-        )
-    theta *= _THETA_SHAVE
-    if theta <= 0.0:
-        return None
-
-    essential = _essential_terms(gub, theta)
     # doc-range-aligned bound, per segment (blocks of different segments
-    # never share docs): bound(b) = ub(b) + Σ_{t'≠t} rangemax_{t'}(b)
+    # never share docs): bound(b) = ub(b) + Σ_{t'≠t} rangemax_{t'}(b).
+    # Theta-independent, so computed once and reused by the pre-check.
     bound = ubs.copy()
     if len(scoring) > 1:
         for s in np.unique(seg_a):
@@ -272,9 +263,35 @@ def _plan_driver(searcher, all_blocks: DataFrame, scoring, stats, k):
                 if not m.any():
                     continue
                 bound[m] = ubs[m] + _range_max_other(by_term, t, first[m], last[m])
-    ess_set = set(essential)
-    cand_gen = np.fromiter((t in ess_set for t in term_a), bool, n_total)
-    kept_mask = cand_gen & (bound >= theta)
+
+    def kept_at(theta_v: float) -> np.ndarray:
+        ess = set(_essential_terms(gub, theta_v))
+        in_ess = np.fromiter((t in ess for t in term_a), bool, n_total)
+        return in_ess & (bound >= theta_v)
+
+    if len(scoring) > 1:
+        # Planning-overhead guard (r6): evaluate the kept set at the
+        # pair-score theta BEFORE paying the partial-sum decode (a Spark
+        # collect of ~terms × 4k postings). The shapes where pruning pays
+        # (rare + common → MaxScore term drop) already prune here;
+        # comparable-gub ORs stay at kept≈total even after refinement
+        # (or3_head: 8886/8886 with full planning), so a kept-ratio
+        # failure at pair theta returns the exact plan without the
+        # decode job. Heuristic, not a soundness condition: skipping
+        # only costs pruning, never correctness.
+        pre = theta * _THETA_SHAVE
+        if pre > 0.0 and int(kept_at(pre).sum()) > MAX_KEPT_RATIO * n_total:
+            return None
+        theta = max(
+            theta,
+            _theta_from_partials(searcher, stats, term_a, ubs, n_a, seg_a, bno_a, k),
+        )
+    theta *= _THETA_SHAVE
+    if theta <= 0.0:
+        return None
+
+    essential = _essential_terms(gub, theta)
+    kept_mask = kept_at(theta)
     n_kept = int(kept_mask.sum())
     keys = list(zip(term_a[kept_mask], seg_a[kept_mask], bno_a[kept_mask]))
     return {
@@ -443,6 +460,27 @@ def _plan_dataframe(searcher, all_blocks: DataFrame, scoring, stats, k):
         if kth is None:
             return None
         theta = float(kth)
+
+        def kept_count(theta_v: float) -> int:
+            ess = _essential_terms(gub, theta_v)
+            thr_v = {t: theta_v - (total_ub - gub[t]) for t in gub}
+            tm = F.create_map(
+                *[x for t in thr_v for x in (F.lit(t), F.lit(thr_v[t]))]
+            )
+            return int(
+                meta.filter(
+                    F.col("term").isin(ess) & (F.col("ub") >= tm[F.col("term")])
+                ).count()
+            )
+
+        if len(scoring) > 1:
+            # planning-overhead guard (r6) — same rationale as the
+            # driver planner: if the pair theta already keeps more than
+            # MAX_KEPT_RATIO of the blocks, skip the partial-sum decode
+            # job and return the exact plan immediately
+            pre = theta * _THETA_SHAVE
+            if pre > 0.0 and kept_count(pre) > MAX_KEPT_RATIO * n_total:
+                return None
         if len(scoring) > 1:
             # partial-sum refinement: decode only each term's best blocks
             wdesc = Window.partitionBy("term").orderBy(
