@@ -570,6 +570,30 @@ def _engine_snippets(spark, sf_dir):
     return j.select("doc_id", "start", "end", snip.alias("snippet"))
 
 
+def _engine_matches_spans(spark, sf_dir):
+    """Matches API end-to-end (clt/search/matches.rs,
+    term_matches_iterator.rs [stubs]; Weight#matches): every occurrence
+    span of the phrase 'merge window' — token positions AND char offsets
+    decoded from the positions/offsets postings streams, composed by the
+    phrase anchor-chain span builder (search/matches.py). The documents
+    text is single-space [a-z0-9_ ] tokens, so a DuckDB window-sum over
+    token lengths recomputes the same offsets."""
+    from pyspark.sql import functions as F
+
+    from lucene_rust_spark.entry_helpers import doc_id_from_path, gate_searcher
+    from lucene_rust_spark.oracle.bm25 import phrase_query
+
+    s = gate_searcher(spark, sf_dir)
+    spans = s.matches_df(phrase_query(["merge", "window"]))
+    return doc_id_from_path(s.fetch(spans)).select(
+        F.col("orig_doc_id").alias("doc_id"),
+        F.col("position").cast("long").alias("position"),
+        F.col("end_position").cast("long").alias("end_position"),
+        F.col("start_offset").cast("long").alias("start_offset"),
+        F.col("end_offset").cast("long").alias("end_offset"),
+    )
+
+
 def _engine_topk_by_field(spark, sf_dir):
     """TopFieldCollector (clt/search/mod.rs:157) through the engine: the
     'merge' match set ordered by stored docmap fields (lang asc, path
@@ -715,6 +739,20 @@ _ENGINE_QUERIES = {
         "FROM documents WHERE instr(' ' || text || ' ', ' merge ') > 0) "
         "SELECT doc_id, (i - 1)::BIGINT AS start, (i + 4)::BIGINT AS \"end\", "
         "substr(text, greatest(i - 31, 0) + 1, 65) AS snippet FROM m",
+    ),
+    "engine_matches_spans": (
+        _engine_matches_spans,
+        # engine positions are 0-based; _POS_CTE is 1-based. char start
+        # of 1-based token p = sum(len(prev tokens)) + (p - 1) spaces
+        f"{_POS_CTE}, offs AS (SELECT doc_id, term, pos, "
+        "(COALESCE(SUM(length(term)) OVER (PARTITION BY doc_id ORDER BY pos "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + pos - 1)::BIGINT"
+        " AS cstart FROM pos) "
+        "SELECT a.doc_id, (a.pos - 1)::BIGINT AS position, "
+        "a.pos::BIGINT AS end_position, a.cstart AS start_offset, "
+        "(b.cstart + length(b.term))::BIGINT AS end_offset "
+        "FROM offs a JOIN offs b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+        "WHERE a.term = 'merge' AND b.term = 'window'",
     ),
     "engine_topk_by_field": (
         _engine_topk_by_field,

@@ -102,6 +102,21 @@ class MultiFieldSearcher:
             return self._cross_field_bool(query, k=0, count_only=True)
         return self._route(query).count(query)
 
+    def matches_df(self, query: dict, doc_ids=None) -> DataFrame:
+        """Per-field match spans (field, doc_id, term, position,
+        end_position, start_offset, end_offset) — the Matches API over
+        the field sub-indexes (search/matches.py)."""
+        from lucene_rust_spark.search.matches import multi_field_matches_df
+
+        return multi_field_matches_df(self, query, doc_ids)
+
+    def matches(self, query: dict, doc_id: int):
+        """{field: [MatchSpan, ...]} for one doc, None when it does not
+        match the query."""
+        from lucene_rust_spark.search.matches import multi_field_doc_matches
+
+        return multi_field_doc_matches(self, query, doc_id)
+
     def _is_cross_field(self, query: dict) -> bool:
         fields = {
             c.get("field", self.default_field)

@@ -615,6 +615,24 @@ class IndexSearcher:
             "doc_id", "score", "start", "end", snip.alias("snippet")
         )
 
+    def matches_df(self, query: dict, doc_ids: list[int] | None = None) -> DataFrame:
+        """Match spans for docs matching `query` — the Matches API
+        (clt/search/matches.rs, matches_iterator.rs [stubs]; Lucene 9
+        Weight#matches): (doc_id, term, position, end_position,
+        start_offset, end_offset), one row per occurrence / phrase
+        window. See search/matches.py for the composition rules."""
+        from lucene_rust_spark.search.matches import matches_df
+
+        return matches_df(self, query, doc_ids)
+
+    def matches(self, query: dict, doc_id: int):
+        """Matches for one doc: {field: [MatchSpan, ...]} sorted by
+        position, or None when the doc does not match
+        (clt/search/matches.rs [stub]; Weight#matches returns null)."""
+        from lucene_rust_spark.search.matches import doc_matches
+
+        return doc_matches(self, query, doc_id)
+
     @staticmethod
     def _phrase_slots(query: dict) -> list[list[str]]:
         """Normalize phrase / multi_phrase / ngram_phrase ASTs to
