@@ -193,6 +193,7 @@ class IndexSearcher:
         similarity: str = "bm25",
         tombstones: DataFrame | None = None,
         soft_deletes: bool = False,
+        pin_files: bool = False,
     ):
         """tombstones: optional (doc_id) DataFrame of ephemeral deletes
         applied on top of any on-disk tombstone generations — the
@@ -200,9 +201,15 @@ class IndexSearcher:
         soft_deletes=True keeps SOFT-tombstoned docs visible (Lucene's
         reader over the soft-deletes field without the retention wrapper,
         clt/index/mod.rs:120-121): hard deletes still hide; a merge
-        reclaims both kinds and the flag then has nothing left to show."""
+        reclaims both kinds and the flag then has nothing left to show.
+        pin_files=True freezes each store to the files present at open
+        (explicit file list + basePath) — the IndexReader commit-point
+        pin SearcherManager needs: a directory-path read of the same dir
+        plan-matches an older searcher's cached relation and would
+        silently reuse its stale file listing after an append."""
         self.spark = spark
         self.index_dir = index_dir
+        self.pin_files = bool(pin_files)
         self.soft_deletes = bool(soft_deletes)
         self.manifest = read_manifest(index_dir)
         if self.manifest is None:
@@ -219,13 +226,9 @@ class IndexSearcher:
         self._tomb_count = int(disk_tomb.count()) if disk_tomb is not None else 0
         if self.tombstones is not None:
             self.tombstones = self.tombstones.persist()
-        postings_dir = self.manifest.get("postings_dir", "postings")
-        self.postings = spark.read.parquet(os.path.join(index_dir, postings_dir))
-        terms_dir = self.manifest.get("terms_dir", "terms")
-        self.terms = spark.read.parquet(os.path.join(index_dir, terms_dir))
-        self.docmap = spark.read.parquet(
-            os.path.join(index_dir, self.manifest.get("docmap_dir", "docmap"))
-        )
+        self.postings = self._read_store(self.manifest.get("postings_dir", "postings"))
+        self.terms = self._read_store(self.manifest.get("terms_dir", "terms"))
+        self.docmap = self._read_store(self.manifest.get("docmap_dir", "docmap"))
         self._term_dict = None
         self._norms_df = None
         if cache:
@@ -274,8 +277,42 @@ class IndexSearcher:
             cache=cache,
             similarity=self.sim.name,
             soft_deletes=self.soft_deletes,
+            pin_files=self.pin_files,
         )
         return True
+
+    def _read_store(self, dirname: str) -> DataFrame:
+        """Open one store dir. pin_files freezes the file set at open
+        time (sorted explicit list, basePath keeps the group= partition
+        column) so this reader's view survives later appends even when
+        another searcher holds a cached relation over the same dir."""
+        path = os.path.join(self.index_dir, dirname)
+        if not self.pin_files:
+            return self.spark.read.parquet(path)
+        import glob as _glob
+
+        files = sorted(
+            _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+        if not files:
+            return self.spark.read.parquet(path)
+        return self.spark.read.option("basePath", path).parquet(*files)
+
+    def close(self) -> None:
+        """Release this reader's executor-memory footprint (persisted
+        postings/tombstones/scratch frames). The searcher object stays
+        usable afterwards — uncached — since the underlying store dirs
+        are immutable; SearcherManager calls this when a retired
+        generation's last reference is released."""
+        for df in [self.postings, self.tombstones, *self._scratch_dfs]:
+            if df is None:
+                continue
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._scratch_dfs.clear()
+        self._term_dict = None
 
     def _scratch(self, df: DataFrame) -> None:
         """Track a persisted per-query intermediate; evict oldest beyond a
@@ -1076,9 +1113,7 @@ class IndexSearcher:
         .nvd reader; only field-exists / diagnostics need the whole
         column, scoring reads norm bytes off the posting blocks)."""
         if self._norms_df is None:
-            self._norms_df = self.spark.read.parquet(
-                os.path.join(self.index_dir, self.manifest.get("norms_dir", "norms"))
-            )
+            self._norms_df = self._read_store(self.manifest.get("norms_dir", "norms"))
         return self._norms_df
 
     def _field_exists_docs(self) -> DataFrame:

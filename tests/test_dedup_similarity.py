@@ -64,12 +64,23 @@ def test_simhash_near_dupes(spark, docs):
 
 
 def test_exact_dupes_matches_gate(spark, docs):
+    """The gate seeds shifted copies of every 50th doc so dedup_exact
+    exercises the cnt>1 path with real rows; seed the operator input the
+    same way and assert full (h, cnt, keeper) row parity, not just count."""
     from lucene_rust_spark.gate import dedup_exact
     from lucene_rust_spark.operators.dedup import exact_dupes
 
-    a = exact_dupes(docs).count()
-    b = dedup_exact(spark, SF).count()
-    assert a == b
+    seeded = docs.unionByName(
+        docs.filter(F.col("id") % 50 == 0).select(
+            (F.col("id") + 10_000_000).alias("id"), "text"
+        )
+    )
+    a = exact_dupes(seeded).orderBy("h").toPandas()
+    b = dedup_exact(spark, SF).orderBy("h").toPandas()
+    assert len(a) > 0  # non-vacuous: the seeded corpus has real dup groups
+    assert a["h"].tolist() == b["h"].tolist()
+    assert a["cnt"].tolist() == b["cnt"].tolist()
+    assert a["keeper"].tolist() == b["keeper"].tolist()
 
 
 def test_embedding_near_dupes_symmetric(emb):
