@@ -631,6 +631,9 @@ class HnswGraph:
     # intra-wave brute candidates per node and selection gram width
     INTRA_T = 16
     SELECT_C = 64
+    # frozen vectors per gemm block in _brute_topC: (wave x block) scores
+    # stay L3-resident through the compare + survivor extraction
+    BRUTE_COL_BLOCK = 8192
 
     def _batch_search_threaded(
         self, Q: np.ndarray, ef: int, width: int, expand: int = 4
@@ -658,15 +661,21 @@ class HnswGraph:
     def _brute_topC(
         self, Q: np.ndarray, n_frozen: int, C: int
     ) -> tuple[np.ndarray, np.ndarray]:
-        """EXACT wave candidates: one sgemm of the wave queries against
+        """EXACT wave candidates: sgemm of the wave queries against
         every frozen vector, then a per-row top-C cut. A naive
         per-row argpartition over (W, n) measured ~20x the gemm itself,
         so the cut uses a SAMPLED THRESHOLD: estimate each row's C-th
         value from a strided column sample, keep entries above it
         (~2C survivors), and run the exact partition on the survivors
         only; rows whose sample misjudged fall back to an exact per-row
-        partition. Returns ((W, C) int64 nodes desc-sorted by sim with
-        -1 padding, (W, C) float32 sims)."""
+        partition. The gemm runs COLUMN-BLOCKED (BRUTE_COL_BLOCK
+        frozen vectors per block) with survivors extracted while the
+        block is still cache-resident: materializing the full (W, n) S
+        pushed every compare/nonzero pass to DRAM speed and measured
+        3.2-3.5x slower at 60k-200k frozen. Survivor sets are identical
+        to the unblocked form (same threshold rule). Returns ((W, C)
+        int64 nodes desc-sorted by sim with -1 padding, (W, C) float32
+        sims)."""
         W = len(Q)
         C = min(C, n_frozen)
         if self.dtype == "int8":
@@ -675,50 +684,75 @@ class HnswGraph:
             ]
         else:
             Vt = self.vecs[:n_frozen]
-        S = Q @ Vt.T  # (W, n_frozen) — BLAS
         out_nodes = np.full((W, C), -1, dtype=np.int64)
         out_sims = np.full((W, C), -np.inf, dtype=np.float32)
 
-        def exact_rows(rows):
-            for r in rows:
-                top = np.argpartition(-S[r], C - 1)[:C]
-                order = np.argsort(-S[r, top], kind="stable")
+        def exact_rows_full(rows):
+            if not len(rows):
+                return
+            Sb = Q[rows] @ Vt.T
+            for j, r in enumerate(rows):
+                top = np.argpartition(-Sb[j], C - 1)[:C]
+                order = np.argsort(-Sb[j, top], kind="stable")
                 out_nodes[r] = top[order]
-                out_sims[r] = S[r, top[order]]
+                out_sims[r] = Sb[j, top[order]]
 
         if n_frozen <= 8 * C:
-            exact_rows(range(W))
+            exact_rows_full(np.arange(W))
             return out_nodes, out_sims
+        # pass 1: sampled per-row threshold
         step = max(1, n_frozen // 2048)
-        samp = S[:, ::step]
+        samp = Q @ Vt[::step].T
         k = samp.shape[1]
         kth = min(k - 1, max(1, int(C * k / n_frozen * 2) + 1))
         thr = np.partition(samp, k - kth, axis=1)[:, k - kth]
-        mask = S > thr[:, None]
-        cnt = mask.sum(axis=1)
+        # pass 2: column-blocked gemm + cache-hot survivor extraction
+        B = self.BRUTE_COL_BLOCK
+        ri_parts, ci_parts, sv_parts = [], [], []
+        for b0 in range(0, n_frozen, B):
+            Sb = Q @ Vt[b0 : b0 + B].T
+            rb, cb = np.nonzero(Sb > thr[:, None])
+            if len(rb):
+                ri_parts.append(rb)
+                ci_parts.append((cb + b0).astype(np.int64))
+                sv_parts.append(Sb[rb, cb])
+        if ri_parts:
+            ri = np.concatenate(ri_parts)
+            ci = np.concatenate(ci_parts)
+            sv = np.concatenate(sv_parts)
+        else:
+            ri = np.empty(0, dtype=np.int64)
+            ci = np.empty(0, dtype=np.int64)
+            sv = np.empty(0, dtype=np.float32)
+        cnt = np.bincount(ri, minlength=W)
         bad = (cnt < C) | (cnt > 16 * C)
-        good = np.flatnonzero(~bad)
-        if len(good):
-            mask[np.flatnonzero(bad)] = False
-            ri, ci = np.nonzero(mask)
+        good = ~bad
+        gsel = good[ri]
+        ri, ci, sv = ri[gsel], ci[gsel], sv[gsel]
+        if len(ri):
+            # block-major -> row-major so the padded scatter matches the
+            # single-nonzero ordering
+            order = np.argsort(ri, kind="stable")
+            ri, ci, sv = ri[order], ci[order], sv[order]
             counts = np.bincount(ri, minlength=W)
             starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
             pos = np.arange(len(ri)) - starts[ri]
             Fm = int(counts.max())
             pad_s = np.full((W, Fm), -np.inf, dtype=np.float32)
             pad_n = np.full((W, Fm), -1, dtype=np.int64)
-            pad_s[ri, pos] = S[ri, ci]
+            pad_s[ri, pos] = sv
             pad_n[ri, pos] = ci
             kk = min(C, Fm)
             keep = np.argpartition(-pad_s, kk - 1, axis=1)[:, :kk]
             kn = np.take_along_axis(pad_n, keep, axis=1)
             ks = np.take_along_axis(pad_s, keep, axis=1)
-            order = np.argsort(-ks, axis=1, kind="stable")
-            kn = np.take_along_axis(kn, order, axis=1)
-            ks = np.take_along_axis(ks, order, axis=1)
-            out_nodes[good, :kk] = kn[good]
-            out_sims[good, :kk] = ks[good]
-        exact_rows(np.flatnonzero(bad))
+            order2 = np.argsort(-ks, axis=1, kind="stable")
+            kn = np.take_along_axis(kn, order2, axis=1)
+            ks = np.take_along_axis(ks, order2, axis=1)
+            grows = np.flatnonzero(good)
+            out_nodes[grows, :kk] = kn[grows]
+            out_sims[grows, :kk] = ks[grows]
+        exact_rows_full(np.flatnonzero(bad))
         return out_nodes, out_sims
 
     def _insert_wave(self, idxs: np.ndarray) -> None:
