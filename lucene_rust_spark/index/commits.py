@@ -1,0 +1,288 @@
+"""Commit points, deletion policies, snapshots, and the file deleter.
+
+Reference surfaces (clt/index/, 1-line stubs; Lucene 9 semantics):
+  index_commit.rs                     — IndexCommit (generation, file names,
+                                        user data, delete())
+  index_deletion_policy.rs            — on_init/on_commit hook deciding which
+                                        commit points survive
+  keep_only_last_commit_deletion_policy.rs / no_deletion_policy.rs
+  snapshot_deletion_policy.rs         — snapshot() pins a commit against the
+                                        wrapped primary policy; release() unpins
+  persistent_snapshot_deletion_policy.rs — snapshots survive process restart
+  index_file_deleter.rs               — refcounts files across retained
+                                        commits; physically deletes only what
+                                        NO retained commit references
+
+Spark mapping: a commit point is `commits/segments_<gen>.json`
+(index/manifest.py) carrying the exact parquet-file snapshot of every store
+dir plus the tombstone-dir list at commit time. Store dirs only grow, so
+file-level refcounting degenerates to set algebra over the stamped lists —
+`checkpoint()` deletes (a) dropped commit-point json files and (b) parquet
+files / tombstone dirs referenced only by dropped commits. Files never
+stamped by any commit (build scaffolding, an in-flight writer's pending
+part files) are never touched — the same conservatism as Lucene's
+IndexFileDeleter incref-at-commit rule.
+
+One Spark-specific caveat, documented rather than hidden: unlike Lucene's
+POSIX open-file semantics, a pinned PySpark searcher re-opens parquet files
+per job, so the policy must keep every generation a live reader still
+pins — pass `protected_generations` (SearcherManager.pinned_generations()
+or SearcherLifetimeManager.recorded_generations()) to checkpoint().
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass, field
+
+from lucene_rust_spark.index.manifest import (
+    COMMITS_DIR,
+    COMMIT_PREFIX,
+    list_commit_generations,
+    read_commit,
+    read_manifest,
+    store_dirs,
+)
+
+
+@dataclass
+class IndexCommit:
+    """One retained commit point (clt/index/index_commit.rs). A deletion
+    policy marks it with delete(); the IndexFileDeleter acts on the marks.
+    The live (latest) commit is never deletable — Lucene's invariant."""
+
+    index_dir: str
+    generation: int
+    manifest: dict
+    is_latest: bool = False
+    _deleted: bool = field(default=False, repr=False)
+
+    def file_names(self) -> list[str]:
+        """Exact relative file/dir set this commit references
+        (IndexCommit.getFileNames): stamped parquet files + tombstone
+        generation dirs + its own commit-point json."""
+        out: list[str] = []
+        for files in (self.manifest.get("store_files") or {}).values():
+            out.extend(files)
+        out.extend(self.manifest.get("tombstone_dirs") or ())
+        return sorted(set(out))
+
+    @property
+    def user_data(self) -> dict:
+        """Opaque application payload stored with the commit
+        (IndexWriter.setLiveCommitData analog — writers put a `user_data`
+        key in the manifest they commit)."""
+        return dict(self.manifest.get("user_data") or {})
+
+    @property
+    def segment_count(self) -> int:
+        return len(self.manifest.get("segments") or ())
+
+    def delete(self) -> None:
+        if self.is_latest:
+            raise ValueError("the latest commit point cannot be deleted")
+        self._deleted = True
+
+    @property
+    def is_deleted(self) -> bool:
+        return self._deleted
+
+
+def list_commits(index_dir: str) -> list[IndexCommit]:
+    """Ascending retained commit points (DirectoryReader.listCommits)."""
+    gens = list_commit_generations(index_dir)
+    live = read_manifest(index_dir) or {}
+    live_gen = int(live.get("generation", -1))
+    out = []
+    for g in gens:
+        m = read_commit(index_dir, g)
+        if m is not None:
+            out.append(IndexCommit(index_dir, g, m, is_latest=(g == live_gen)))
+    return out
+
+
+class IndexDeletionPolicy:
+    """Base policy (clt/index/index_deletion_policy.rs): given the
+    ascending commit list, mark the ones to drop via commit.delete()."""
+
+    def on_init(self, commits: list[IndexCommit]) -> None:
+        self.on_commit(commits)
+
+    def on_commit(self, commits: list[IndexCommit]) -> None:
+        raise NotImplementedError
+
+
+class KeepOnlyLastCommitDeletionPolicy(IndexDeletionPolicy):
+    """Lucene's default (keep_only_last_commit_deletion_policy.rs)."""
+
+    def on_commit(self, commits: list[IndexCommit]) -> None:
+        for c in commits:
+            if not c.is_latest:
+                c.delete()
+
+
+class NoDeletionPolicy(IndexDeletionPolicy):
+    """Retain every commit point ever written (no_deletion_policy.rs)."""
+
+    def on_commit(self, commits: list[IndexCommit]) -> None:
+        pass
+
+
+class KeepLastNCommitsDeletionPolicy(IndexDeletionPolicy):
+    """Retain the newest N commit points — the common production policy
+    for paging consistency windows."""
+
+    def __init__(self, n: int):
+        if n < 1:
+            raise ValueError("n must be >= 1")
+        self.n = int(n)
+
+    def on_commit(self, commits: list[IndexCommit]) -> None:
+        for c in commits[: max(0, len(commits) - self.n)]:
+            if not c.is_latest:
+                c.delete()
+
+
+class SnapshotDeletionPolicy(IndexDeletionPolicy):
+    """Wrap a primary policy; snapshot() pins the latest commit so the
+    primary cannot drop it until release() (snapshot_deletion_policy.rs).
+    Refcounted: the same generation snapshotted twice needs two releases."""
+
+    def __init__(self, primary: IndexDeletionPolicy | None = None):
+        self.primary = primary or KeepOnlyLastCommitDeletionPolicy()
+        self._refs: dict[int, int] = {}
+
+    def snapshot(self, index_dir: str) -> IndexCommit:
+        commits = list_commits(index_dir)
+        if not commits:
+            raise FileNotFoundError(f"no commits in {index_dir}")
+        latest = commits[-1]
+        self._refs[latest.generation] = self._refs.get(latest.generation, 0) + 1
+        self._persist()
+        return latest
+
+    def release(self, commit_or_gen) -> None:
+        gen = int(getattr(commit_or_gen, "generation", commit_or_gen))
+        n = self._refs.get(gen, 0)
+        if n <= 0:
+            raise ValueError(f"generation {gen} is not snapshotted")
+        if n == 1:
+            del self._refs[gen]
+        else:
+            self._refs[gen] = n - 1
+        self._persist()
+
+    def snapshotted_generations(self) -> list[int]:
+        return sorted(self._refs)
+
+    def on_commit(self, commits: list[IndexCommit]) -> None:
+        pinned = set(self._refs)
+        free = [c for c in commits if c.generation not in pinned]
+        self.primary.on_commit(free)
+
+    def _persist(self) -> None:  # overridden by the persistent variant
+        pass
+
+
+class PersistentSnapshotDeletionPolicy(SnapshotDeletionPolicy):
+    """Snapshots survive restarts: refcounts live in
+    commits/snapshots.json, written atomically
+    (persistent_snapshot_deletion_policy.rs)."""
+
+    def __init__(self, index_dir: str, primary: IndexDeletionPolicy | None = None):
+        super().__init__(primary)
+        self.index_dir = index_dir
+        self._path = os.path.join(index_dir, COMMITS_DIR, "snapshots.json")
+        if os.path.exists(self._path):
+            with open(self._path) as f:
+                self._refs = {int(k): int(v) for k, v in json.load(f).items()}
+
+    def snapshot(self, index_dir: str | None = None) -> IndexCommit:
+        return super().snapshot(index_dir or self.index_dir)
+
+    def _persist(self) -> None:
+        os.makedirs(os.path.dirname(self._path), exist_ok=True)
+        tmp = self._path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({str(k): v for k, v in self._refs.items()}, f, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._path)
+
+
+class IndexFileDeleter:
+    """Refcounting cleanup (clt/index/index_file_deleter.rs). Call
+    checkpoint() after commits (or periodically): the policy marks commit
+    points, then files referenced ONLY by dropped commits are deleted.
+
+    protected_generations: generations a live reader still pins (Spark
+    re-opens files per job — see module docstring); they survive the
+    policy regardless of its verdict."""
+
+    def __init__(self, index_dir: str, policy: IndexDeletionPolicy | None = None):
+        self.index_dir = index_dir
+        self.policy = policy or KeepOnlyLastCommitDeletionPolicy()
+
+    def checkpoint(self, protected_generations=()) -> dict:
+        commits = list_commits(self.index_dir)
+        if not commits:
+            return {"dropped_commits": [], "deleted_files": [], "deleted_dirs": []}
+        self.policy.on_commit(commits)
+        protected = {int(g) for g in protected_generations}
+        dropped = [
+            c for c in commits if c.is_deleted and c.generation not in protected
+        ]
+        retained = [c for c in commits if c not in dropped]
+        keep_files: set[str] = set()
+        keep_dirs: set[str] = set()
+        for c in retained:
+            keep_files.update(c.file_names())
+            # whole store dirs referenced by a retained commit stay even
+            # where a legacy manifest carries no per-file stamp
+            keep_dirs.update(store_dirs(c.manifest).values())
+        deleted_files: list[str] = []
+        deleted_dirs: list[str] = []
+        for c in dropped:
+            for rel in c.file_names():
+                if rel in keep_files:
+                    continue
+                path = os.path.join(self.index_dir, rel)
+                top = rel.split("/", 1)[0].split(os.sep, 1)[0]
+                if not os.path.exists(path):
+                    continue
+                if os.path.isdir(path):
+                    # a tombstone generation dir
+                    shutil.rmtree(path, ignore_errors=True)
+                    deleted_dirs.append(rel)
+                else:
+                    if top in keep_dirs and not rel.endswith(".parquet"):
+                        continue
+                    os.remove(path)
+                    deleted_files.append(rel)
+                keep_files.add(rel)  # delete once
+            cpath = os.path.join(
+                self.index_dir, COMMITS_DIR, f"{COMMIT_PREFIX}{c.generation}.json"
+            )
+            if os.path.exists(cpath):
+                os.remove(cpath)
+        # prune store dirs emptied entirely (a dropped merge generation)
+        for c in dropped:
+            for d in store_dirs(c.manifest).values():
+                if d in keep_dirs:
+                    continue
+                path = os.path.join(self.index_dir, d)
+                if os.path.isdir(path) and not any(
+                    f.endswith(".parquet")
+                    for _, _, fs in os.walk(path)
+                    for f in fs
+                ):
+                    shutil.rmtree(path, ignore_errors=True)
+                    deleted_dirs.append(d)
+                    keep_dirs.add(d)
+        return {
+            "dropped_commits": sorted(c.generation for c in dropped),
+            "deleted_files": sorted(set(deleted_files)),
+            "deleted_dirs": sorted(set(deleted_dirs)),
+        }

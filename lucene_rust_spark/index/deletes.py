@@ -32,7 +32,7 @@ SOFT_TOMBSTONE_DIR = "soft_tombstones"
 
 
 def read_tombstones(
-    spark: SparkSession, index_dir: str, kind: str = "all"
+    spark: SparkSession, index_dir: str, kind: str = "all", manifest: dict | None = None
 ) -> DataFrame | None:
     """Union of tombstone generations → (doc_id) or None when empty.
     kind: 'hard' | 'soft' | 'all'. Soft deletes (r4, VERDICT item 9; the
@@ -40,9 +40,35 @@ def read_tombstones(
     live in their own generation dirs: a normal reader hides hard AND soft
     tombstones, a soft_deletes=True reader keeps soft-deleted docs visible
     (Lucene's reader-over-the-soft-deletes-field view), and a merge
-    reclaims both."""
-    m = read_manifest(index_dir) or {}
+    reclaims both.
+
+    manifest: read the tombstone view of THAT commit point — its stamped
+    `tombstone_dirs` snapshot (index_commit.rs getFileNames analog) instead
+    of whatever generation dirs exist on disk now. Required for opening an
+    old commit, and safer for any pinned reader (a concurrent delete's new
+    gen dir never leaks in). Without a manifest this is a LIVE read: glob
+    the dirs on disk, which may include a tombstone generation newer than
+    the last commit (the writer itself reads mid-commit this way)."""
+    m = manifest if manifest is not None else (read_manifest(index_dir) or {})
     reclaimed = set(m.get("reclaimed_tombstone_dirs", ()))
+    if manifest is not None and "tombstone_dirs" in m:
+        rel = list(m.get("tombstone_dirs") or ())
+        dirs = []
+        if kind in ("hard", "all"):
+            dirs += sorted(
+                os.path.join(index_dir, r) for r in rel
+                if r.startswith(TOMBSTONE_DIR + "/") or r.startswith(TOMBSTONE_DIR + os.sep)
+            )
+        if kind in ("soft", "all"):
+            dirs += sorted(
+                os.path.join(index_dir, r) for r in rel
+                if r.startswith(SOFT_TOMBSTONE_DIR + "/")
+                or r.startswith(SOFT_TOMBSTONE_DIR + os.sep)
+            )
+        dirs = [d for d in dirs if os.path.relpath(d, index_dir) not in reclaimed]
+        if not dirs:
+            return None
+        return spark.read.parquet(*dirs).select("doc_id").distinct()
     dirs = []
     if kind in ("hard", "all"):
         dirs += sorted(glob.glob(os.path.join(index_dir, TOMBSTONE_DIR, "gen=*")))

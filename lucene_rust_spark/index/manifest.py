@@ -7,25 +7,81 @@ write manifest.json.pending_<gen>, fsync, atomic rename to manifest.json.
 Latest-generation discovery (core/index/segment_index.rs:355-408) becomes
 "read manifest.json, trust its generation field" because the rename is
 atomic and single-writer.
+
+Commit points (clt/index/index_commit.rs, segment_infos.rs): every commit
+ALSO writes an immutable per-generation copy `commits/segments_<gen>.json`
+carrying the exact store-file snapshot (`store_files`) and tombstone-dir
+list (`tombstone_dirs`) at commit time — Lucene's
+IndexCommit.getFileNames(). Because store dirs only ever GROW (appends add
+part files; merges/delete-reclaims write new generation-suffixed dirs),
+the snapshot is sufficient to reopen any retained past commit exactly.
+Retention of these commit points is an IndexDeletionPolicy decision
+(index/commits.py), not the writer's.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 
 
 MANIFEST_NAME = "manifest.json"
 PENDING_PREFIX = "manifest.json.pending_"
+COMMITS_DIR = "commits"
+COMMIT_PREFIX = "segments_"
+
+# the store-pointer keys a manifest may carry; values default to the
+# unsuffixed dir name when absent (legacy manifests)
+STORE_KEYS = ("postings_dir", "norms_dir", "docmap_dir", "terms_dir")
+
+
+def store_dirs(manifest: dict) -> dict[str, str]:
+    """Map store key → relative dir name for one manifest generation."""
+    return {k: manifest.get(k) or k.replace("_dir", "") for k in STORE_KEYS}
+
+
+def _snapshot_files(out_dir: str, manifest: dict) -> dict:
+    """The IndexCommit file list: for each store dir referenced by this
+    manifest, the sorted relative parquet paths present right now (commits
+    are single-writer, so 'now' == 'at commit time'); plus the tombstone
+    generation dirs present. Listing cost is O(files), same as Lucene
+    writing file names into segments_N."""
+    files: dict[str, list[str]] = {}
+    for dirname in store_dirs(manifest).values():
+        root = os.path.join(out_dir, dirname)
+        files[dirname] = sorted(
+            os.path.relpath(p, out_dir)
+            for p in glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True)
+        )
+    tomb = sorted(
+        os.path.relpath(d, out_dir)
+        for pat in ("tombstones", "soft_tombstones")
+        for d in glob.glob(os.path.join(out_dir, pat, "gen=*"))
+    )
+    return {"store_files": files, "tombstone_dirs": tomb}
 
 
 def commit_manifest(out_dir: str, manifest: dict) -> None:
     os.makedirs(out_dir, exist_ok=True)
+    manifest = dict(manifest)
+    manifest.update(_snapshot_files(out_dir, manifest))
     pending = os.path.join(out_dir, f"{PENDING_PREFIX}{manifest['generation']}")
+    payload = json.dumps(manifest, indent=1, sort_keys=True)
     with open(pending, "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
+        f.write(payload)
         f.flush()
         os.fsync(f.fileno())
+    # the per-generation commit point first (its visibility is governed by
+    # manifest.json, so a crash between the two writes is harmless)
+    cdir = os.path.join(out_dir, COMMITS_DIR)
+    os.makedirs(cdir, exist_ok=True)
+    cpath = os.path.join(cdir, f"{COMMIT_PREFIX}{int(manifest['generation'])}.json")
+    with open(cpath + ".tmp", "w") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(cpath + ".tmp", cpath)
     os.replace(pending, os.path.join(out_dir, MANIFEST_NAME))
 
 
@@ -35,6 +91,35 @@ def read_manifest(out_dir: str) -> dict | None:
         return None
     with open(path) as f:
         return json.load(f)
+
+
+def list_commit_generations(out_dir: str) -> list[int]:
+    """Ascending generations with a retained commit point. Legacy indexes
+    (no commits/ dir) expose only the live manifest's generation."""
+    gens = []
+    for p in glob.glob(os.path.join(out_dir, COMMITS_DIR, f"{COMMIT_PREFIX}*.json")):
+        stem = os.path.basename(p)[len(COMMIT_PREFIX):-len(".json")]
+        if stem.isdigit():
+            gens.append(int(stem))
+    if not gens:
+        m = read_manifest(out_dir)
+        return [int(m["generation"])] if m else []
+    return sorted(gens)
+
+
+def read_commit(out_dir: str, generation: int) -> dict | None:
+    """The manifest of one retained commit point (None if not retained).
+    The live generation falls back to manifest.json on legacy indexes."""
+    path = os.path.join(
+        out_dir, COMMITS_DIR, f"{COMMIT_PREFIX}{int(generation)}.json"
+    )
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    m = read_manifest(out_dir)
+    if m is not None and int(m.get("generation", -1)) == int(generation):
+        return m
+    return None
 
 
 def check_index(out_dir: str, spark) -> dict:

@@ -194,6 +194,7 @@ class IndexSearcher:
         tombstones: DataFrame | None = None,
         soft_deletes: bool = False,
         pin_files: bool = False,
+        commit: int | None = None,
     ):
         """tombstones: optional (doc_id) DataFrame of ephemeral deletes
         applied on top of any on-disk tombstone generations — the
@@ -206,18 +207,40 @@ class IndexSearcher:
         (explicit file list + basePath) — the IndexReader commit-point
         pin SearcherManager needs: a directory-path read of the same dir
         plan-matches an older searcher's cached relation and would
-        silently reuse its stale file listing after an append."""
+        silently reuse its stale file listing after an append.
+        commit=<generation> opens a RETAINED PAST COMMIT POINT
+        (DirectoryReader.open(IndexCommit), clt/index/index_commit.rs,
+        standard_directory_reader.rs): stores and tombstones come from that
+        generation's stamped file snapshot, so the searcher sees exactly
+        the index as of that commit — provided the deletion policy
+        (index/commits.py) retained it."""
         self.spark = spark
         self.index_dir = index_dir
-        self.pin_files = bool(pin_files)
+        self.commit = int(commit) if commit is not None else None
+        # a commit-point read is pinned by definition — its view is the
+        # stamped file list, never the live directory listing
+        self.pin_files = bool(pin_files) or self.commit is not None
         self.soft_deletes = bool(soft_deletes)
-        self.manifest = read_manifest(index_dir)
+        if self.commit is not None:
+            from lucene_rust_spark.index.manifest import read_commit
+
+            self.manifest = read_commit(index_dir, self.commit)
+            if self.manifest is None:
+                raise FileNotFoundError(
+                    f"commit point {self.commit} not retained in {index_dir} "
+                    "(deleted by the deletion policy, or never committed)"
+                )
+        else:
+            self.manifest = read_manifest(index_dir)
         if self.manifest is None:
             raise FileNotFoundError(f"no manifest in {index_dir}")
         from lucene_rust_spark.index.deletes import read_tombstones
 
         disk_tomb = read_tombstones(
-            spark, index_dir, kind="hard" if soft_deletes else "all"
+            spark, index_dir, kind="hard" if soft_deletes else "all",
+            # pinned readers use the manifest's own tombstone snapshot so a
+            # concurrent delete's new gen dir can't leak into this view
+            manifest=self.manifest if self.pin_files else None,
         )
         if tombstones is not None:
             t = tombstones.select(F.col(tombstones.columns[0]).cast("long").alias("doc_id"))
@@ -261,7 +284,11 @@ class IndexSearcher:
         append, merge, delete), reload postings/terms/docmap/tombstones
         and refreshed collection stats in place. Returns True when the
         view changed. Readers of the old generation dirs are unaffected
-        (generation-suffixed dirs are immutable once committed)."""
+        (generation-suffixed dirs are immutable once committed). A
+        commit-point searcher (commit=N) never refreshes — it IS that
+        generation."""
+        if self.commit is not None:
+            return False
         m = read_manifest(self.index_dir)
         if m is None or m.get("generation") == self.manifest.get("generation"):
             return False
@@ -282,13 +309,21 @@ class IndexSearcher:
         return True
 
     def _read_store(self, dirname: str) -> DataFrame:
-        """Open one store dir. pin_files freezes the file set at open
-        time (sorted explicit list, basePath keeps the group= partition
-        column) so this reader's view survives later appends even when
-        another searcher holds a cached relation over the same dir."""
+        """Open one store dir. pin_files freezes the file set (explicit
+        list + basePath keeps the group= partition column) so this
+        reader's view survives later appends even when another searcher
+        holds a cached relation over the same dir. The manifest's stamped
+        `store_files` snapshot is preferred over a live glob — it is the
+        commit's exact file list (IndexCommit.getFileNames), so an
+        in-flight append's not-yet-committed part files can't leak in;
+        legacy manifests without the stamp fall back to the glob."""
         path = os.path.join(self.index_dir, dirname)
         if not self.pin_files:
             return self.spark.read.parquet(path)
+        stamped = (self.manifest.get("store_files") or {}).get(dirname)
+        if stamped:
+            files = [os.path.join(self.index_dir, r) for r in stamped]
+            return self.spark.read.option("basePath", path).parquet(*files)
         import glob as _glob
 
         files = sorted(
