@@ -678,6 +678,44 @@ def _engine_count_threshold(spark, sf_dir):
     n, rel = s.count_with_threshold({"type": "term", "term": "merge"}, threshold=50)
     return spark.createDataFrame([(int(n), rel)], "n_hits long, relation string")
 
+def _engine_commit_travel(spark, sf_dir):
+    """Point-in-time reads over retained commit points (clt/index/
+    index_commit.rs, snapshot_deletion_policy.rs; DirectoryReader.open(
+    IndexCommit)): a three-commit index — build on doc_id % 3 != 0,
+    append the rest, delete every 'merge' doc — queried at all three
+    views. Commit A must NOT see the appended docs, commit B must see
+    them but NOT the deletes, and the live view applies the deletes;
+    DuckDB re-derives each view from the raw table."""
+    from lucene_rust_spark.entry_helpers import commit_gate_index
+    from lucene_rust_spark.search.searcher import IndexSearcher
+
+    idx, gen_build, gen_append = commit_gate_index(spark, sf_dir)
+    q = {"type": "term", "term": "merge"}
+    n_a = IndexSearcher(spark, idx, commit=gen_build).count(q)
+    n_b = IndexSearcher(spark, idx, commit=gen_append).count(q)
+    live = IndexSearcher(spark, idx)
+    n_live_merge = live.count(q)
+    n_live_window = live.count({"type": "term", "term": "window"})
+    return spark.createDataFrame(
+        [(int(n_a), int(n_b), int(n_live_merge), int(n_live_window))],
+        "n_commit_build long, n_commit_append long, n_live_merge long,"
+        " n_live_window long",
+    )
+
+
+SQL_ENGINE_COMMIT_TRAVEL = f"""
+{_TOKS_CTE}
+SELECT
+ (SELECT count(*) FROM tk WHERE list_contains(toks, 'merge')
+   AND doc_id % 3 <> 0)::BIGINT AS n_commit_build,
+ (SELECT count(*) FROM tk
+   WHERE list_contains(toks, 'merge'))::BIGINT AS n_commit_append,
+ 0::BIGINT AS n_live_merge,
+ (SELECT count(*) FROM tk WHERE list_contains(toks, 'window')
+   AND NOT list_contains(toks, 'merge'))::BIGINT AS n_live_window
+"""
+
+
 def _sf01_engine_bm25(spark, sf_dir):
     """The engine postings-scoring gate pinned to the sf0.1 bench corpus
     (5,000-doc index via gate_searcher's on-disk cache): FOR-block
@@ -711,6 +749,7 @@ _ENGINE_QUERIES = {
         _engine_regexp_algebra_counts,
         SQL_ENGINE_REGEXP_ALGEBRA_COUNTS,
     ),
+    "engine_commit_travel": (_engine_commit_travel, SQL_ENGINE_COMMIT_TRAVEL),
     "engine_delete_count": (
         _engine_delete_count,
         f"{_TOKS_CTE} SELECT count(*)::BIGINT AS n_hits "

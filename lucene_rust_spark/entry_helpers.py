@@ -39,6 +39,18 @@ from lucene_rust_spark.functions.analysis import register_payload_fn  # noqa: E4
 register_payload_fn("pos_mod7", gate_payload_fn)
 
 
+def _corpus_xor(src: DataFrame) -> str:
+    """Order-independent content digest of a corpus — xor of per-row
+    sha256 prefixes. Catches same-row-count corpora with different text
+    (a stale cached index)."""
+    x = src.agg(
+        F.bit_xor(
+            F.conv(F.substring(F.sha2("content", 256), 1, 15), 16, 10).cast("long")
+        ).alias("x")
+    ).first()["x"]
+    return format(int(x) & 0xFFFFFFFFFFFFFFFF, "016x")
+
+
 def gate_searcher(spark: SparkSession, sf_dir: str):
     """Build (or reuse) the engine index for sf_dir's documents table and
     return an IndexSearcher. The index is cached on disk across calls."""
@@ -52,14 +64,8 @@ def gate_searcher(spark: SparkSession, sf_dir: str):
     out = os.path.join(_GATE_IDX_ROOT, key)
     src = documents_as_corpus(spark, sf_dir)
     m = read_manifest(out)
-    # reuse only when format AND content match — the content xor-digest
-    # catches same-row-count corpora with different text (stale index)
-    src_xor = src.agg(
-        F.bit_xor(
-            F.conv(F.substring(F.sha2("content", 256), 1, 15), 16, 10).cast("long")
-        ).alias("x")
-    ).first()["x"]
-    src_xor = format(int(src_xor) & 0xFFFFFFFFFFFFFFFF, "016x")
+    # reuse only when format AND content match
+    src_xor = _corpus_xor(src)
     if (
         m is None
         or m.get("format_version", 1) < 2
@@ -75,6 +81,44 @@ def gate_searcher(spark: SparkSession, sf_dir: str):
     s = IndexSearcher(spark, out, cache=True)
     _SEARCHERS[key] = s
     return s
+
+
+def commit_gate_index(spark: SparkSession, sf_dir: str) -> tuple[str, int, int]:
+    """Three-commit index for the time-travel gate: build on docs with
+    doc_id % 3 != 0 (commit A), append the % 3 == 0 docs (commit B), then
+    delete every 'merge' doc (live commit). Returns (index_dir, gen_A,
+    gen_B); disk-cached per corpus digest so sweeps rebuild only on
+    content change."""
+    import json
+    import shutil
+
+    from lucene_rust_spark.index.build import build_index
+    from lucene_rust_spark.index.deletes import delete_by_term
+    from lucene_rust_spark.index.manifest import read_manifest
+    from lucene_rust_spark.streaming.incremental import append_batch
+
+    key = os.path.basename(os.path.normpath(sf_dir)) + "_commits"
+    out = os.path.join(_GATE_IDX_ROOT, key)
+    marker = os.path.join(out, "commit_gate_meta.json")
+    src = documents_as_corpus(spark, sf_dir)
+    src_xor = _corpus_xor(src)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            meta = json.load(f)
+        if meta.get("xor") == src_xor:
+            return out, int(meta["gen_build"]), int(meta["gen_append"])
+    shutil.rmtree(out, ignore_errors=True)
+    doc_id = F.split(F.col("path"), "/")[1].cast("long")
+    build_index(
+        spark, src.filter(doc_id % 3 != 0), out, num_partitions=4, resume=False
+    )
+    gen_build = int(read_manifest(out)["generation"])
+    append_batch(spark, src.filter(doc_id % 3 == 0), out, epoch=0, num_partitions=4)
+    gen_append = int(read_manifest(out)["generation"])
+    delete_by_term(spark, out, "merge")
+    with open(marker, "w") as f:
+        json.dump({"xor": src_xor, "gen_build": gen_build, "gen_append": gen_append}, f)
+    return out, gen_build, gen_append
 
 
 def mf_gate_searcher(spark: SparkSession, sf_dir: str):
