@@ -40,6 +40,8 @@ from dataclasses import dataclass, field
 from lucene_rust_spark.index.manifest import (
     COMMITS_DIR,
     COMMIT_PREFIX,
+    PENDING_PREFIX,
+    commit_manifest,
     list_commit_generations,
     read_commit,
     read_manifest,
@@ -286,3 +288,84 @@ class IndexFileDeleter:
             "deleted_files": sorted(set(deleted_files)),
             "deleted_dirs": sorted(set(deleted_dirs)),
         }
+
+
+def set_live_commit_data(index_dir: str, data: dict) -> dict:
+    """IndexWriter.setLiveCommitData + commit: publish a new generation
+    whose only change is the opaque `user_data` payload (read back via
+    IndexCommit.user_data). Pure metadata — no store file changes."""
+    m = read_manifest(index_dir)
+    if m is None:
+        raise FileNotFoundError(f"no manifest in {index_dir}")
+    manifest = dict(m)
+    manifest["user_data"] = {str(k): str(v) for k, v in dict(data).items()}
+    manifest["generation"] = int(m["generation"]) + 1
+    commit_manifest(index_dir, manifest)
+    return manifest
+
+
+def rollback_uncommitted(index_dir: str) -> dict:
+    """IndexWriter.rollback analog for a crashed/abandoned writer: drop
+    everything no COMMITTED generation references —
+      * pending (prepared-but-unpublished) manifests,
+      * orphan commit-point jsons newer than the live generation
+        (a crash between finish_commit's two renames),
+      * parquet part files inside the live commit's store dirs that no
+        retained commit stamps (a half-written build group or append),
+      * tombstone generation dirs no retained commit stamps,
+      * terms_partial groups that belong to no committed segment group
+        (a crashed append's partials would silently inflate df/ttf in
+        every FUTURE append's terms-dict rebuild).
+    Never touches files referenced by any retained commit, and never
+    touches non-live store generations (that cleanup is the deletion
+    policy's job — IndexFileDeleter.checkpoint)."""
+    live = read_manifest(index_dir)
+    if live is None:
+        raise FileNotFoundError(f"no manifest in {index_dir}")
+    live_gen = int(live["generation"])
+    commits = list_commits(index_dir)
+    keep_files: set[str] = set()
+    committed_groups: set[int] = set()
+    for c in commits:
+        if c.generation <= live_gen:
+            keep_files.update(c.file_names())
+            committed_groups.update(
+                int(s.get("group", 0)) for s in (c.manifest.get("segments") or ())
+            )
+    removed: dict[str, list[str]] = {
+        "pending": [], "orphan_commits": [], "files": [], "dirs": []
+    }
+    import glob as _glob
+
+    for p in _glob.glob(os.path.join(index_dir, f"{PENDING_PREFIX}*")):
+        os.remove(p)
+        removed["pending"].append(os.path.basename(p))
+    for p in _glob.glob(
+        os.path.join(index_dir, COMMITS_DIR, f"{COMMIT_PREFIX}*.json")
+    ):
+        stem = os.path.basename(p)[len(COMMIT_PREFIX):-len(".json")]
+        if stem.isdigit() and int(stem) > live_gen:
+            os.remove(p)
+            removed["orphan_commits"].append(os.path.basename(p))
+    if "store_files" in live:  # stamped manifests only — never guess
+        for dirname in store_dirs(live).values():
+            root = os.path.join(index_dir, dirname)
+            for p in _glob.glob(
+                os.path.join(root, "**", "*.parquet"), recursive=True
+            ):
+                rel = os.path.relpath(p, index_dir)
+                if rel not in keep_files:
+                    os.remove(p)
+                    removed["files"].append(rel)
+        for pat in ("tombstones", "soft_tombstones"):
+            for d in _glob.glob(os.path.join(index_dir, pat, "gen=*")):
+                rel = os.path.relpath(d, index_dir)
+                if rel not in keep_files:
+                    shutil.rmtree(d, ignore_errors=True)
+                    removed["dirs"].append(rel)
+    for d in _glob.glob(os.path.join(index_dir, "terms_partial", "group=*")):
+        g = os.path.basename(d).split("=", 1)[1]
+        if g.isdigit() and int(g) not in committed_groups:
+            shutil.rmtree(d, ignore_errors=True)
+            removed["dirs"].append(os.path.relpath(d, index_dir))
+    return removed

@@ -62,27 +62,59 @@ def _snapshot_files(out_dir: str, manifest: dict) -> dict:
     return {"store_files": files, "tombstone_dirs": tomb}
 
 
-def commit_manifest(out_dir: str, manifest: dict) -> None:
+def prepare_commit(out_dir: str, manifest: dict) -> int:
+    """Phase 1 of the two-phase commit (IndexWriter.prepareCommit):
+    stamp the file snapshot and durably write the PENDING manifest —
+    `manifest.json.pending_<gen>`, Lucene's pending_segments_N. Nothing
+    is visible to readers yet; a crash here leaves only the pending file
+    (cleaned by rollback_commit / rollback_uncommitted). Returns the
+    prepared generation."""
     os.makedirs(out_dir, exist_ok=True)
     manifest = dict(manifest)
     manifest.update(_snapshot_files(out_dir, manifest))
-    pending = os.path.join(out_dir, f"{PENDING_PREFIX}{manifest['generation']}")
-    payload = json.dumps(manifest, indent=1, sort_keys=True)
+    gen = int(manifest["generation"])
+    pending = os.path.join(out_dir, f"{PENDING_PREFIX}{gen}")
     with open(pending, "w") as f:
-        f.write(payload)
+        f.write(json.dumps(manifest, indent=1, sort_keys=True))
         f.flush()
         os.fsync(f.fileno())
-    # the per-generation commit point first (its visibility is governed by
-    # manifest.json, so a crash between the two writes is harmless)
+    return gen
+
+
+def finish_commit(out_dir: str, generation: int) -> None:
+    """Phase 2 (IndexWriter.commit after prepareCommit): publish the
+    prepared generation. Writes the immutable commit point first (its
+    visibility is governed by manifest.json, so a crash between the two
+    renames is harmless), then atomically renames pending → manifest.json."""
+    pending = os.path.join(out_dir, f"{PENDING_PREFIX}{int(generation)}")
+    with open(pending) as f:
+        payload = f.read()
     cdir = os.path.join(out_dir, COMMITS_DIR)
     os.makedirs(cdir, exist_ok=True)
-    cpath = os.path.join(cdir, f"{COMMIT_PREFIX}{int(manifest['generation'])}.json")
+    cpath = os.path.join(cdir, f"{COMMIT_PREFIX}{int(generation)}.json")
     with open(cpath + ".tmp", "w") as f:
         f.write(payload)
         f.flush()
         os.fsync(f.fileno())
     os.replace(cpath + ".tmp", cpath)
     os.replace(pending, os.path.join(out_dir, MANIFEST_NAME))
+
+
+def rollback_commit(out_dir: str, generation: int) -> bool:
+    """Abandon a prepared-but-unpublished generation (IndexWriter.rollback
+    between prepareCommit and commit). Returns True if a pending file was
+    removed."""
+    pending = os.path.join(out_dir, f"{PENDING_PREFIX}{int(generation)}")
+    if os.path.exists(pending):
+        os.remove(pending)
+        return True
+    return False
+
+
+def commit_manifest(out_dir: str, manifest: dict) -> None:
+    """One-shot commit (IndexWriter.commit without an explicit prepare):
+    prepare + finish."""
+    finish_commit(out_dir, prepare_commit(out_dir, manifest))
 
 
 def read_manifest(out_dir: str) -> dict | None:

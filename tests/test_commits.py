@@ -311,3 +311,99 @@ def test_lifetime_release_after_prune(spark, gen_index):
     mgr.release(held)  # drains the last ref; closes without error
     with pytest.raises(ValueError):
         mgr.release(held)
+
+
+# --- two-phase commit / rollback / live commit data (r6) ---------------------
+
+
+def test_two_phase_commit_and_rollback(spark, tmp_path):
+    from lucene_rust_spark.corpus import gen_corpus_spark
+    from lucene_rust_spark.index.build import build_index
+    from lucene_rust_spark.index.manifest import (
+        finish_commit,
+        prepare_commit,
+        read_commit,
+        read_manifest,
+        rollback_commit,
+    )
+
+    out = str(tmp_path / "idx")
+    build_index(spark, gen_corpus_spark(spark, 60, 2), out, num_partitions=2)
+    m = read_manifest(out)
+    g0 = int(m["generation"])
+
+    # prepare: nothing visible
+    m2 = dict(m)
+    m2["generation"] = g0 + 1
+    m2["user_data"] = {"phase": "prepared"}
+    gen = prepare_commit(out, m2)
+    assert gen == g0 + 1
+    assert int(read_manifest(out)["generation"]) == g0
+    assert read_commit(out, gen) is None
+
+    # rollback: the prepared generation vanishes without a trace
+    assert rollback_commit(out, gen)
+    assert not rollback_commit(out, gen)
+    assert int(read_manifest(out)["generation"]) == g0
+
+    # prepare again, then finish: now visible, commit point retained
+    gen = prepare_commit(out, m2)
+    finish_commit(out, gen)
+    assert int(read_manifest(out)["generation"]) == gen
+    assert read_commit(out, gen)["user_data"] == {"phase": "prepared"}
+
+
+def test_set_live_commit_data(spark, gen_index):
+    from lucene_rust_spark.index.commits import list_commits, set_live_commit_data
+    from lucene_rust_spark.search.searcher import IndexSearcher
+
+    out, b0, b1 = gen_index
+    s_before = IndexSearcher(spark, out)
+    n = s_before.count({"type": "term", "term": "window"})
+    set_live_commit_data(out, {"checkpoint": "batch-42"})
+    latest = list_commits(out)[-1]
+    assert latest.user_data == {"checkpoint": "batch-42"}
+    # metadata-only commit: search results unchanged
+    assert IndexSearcher(spark, out).count({"type": "term", "term": "window"}) == n
+
+
+def test_rollback_uncommitted_drops_writer_leftovers(spark, gen_index):
+    import json
+    import os
+
+    from lucene_rust_spark.index.commits import rollback_uncommitted
+    from lucene_rust_spark.index.manifest import check_index, read_manifest
+    from lucene_rust_spark.search.searcher import IndexSearcher
+
+    out, b0, b1 = gen_index
+    m = read_manifest(out)
+    n = IndexSearcher(spark, out).count({"type": "term", "term": "window"})
+
+    # simulate a crashed writer: a half-written part file in the live
+    # postings dir, an uncommitted terms partial, a pending manifest, and
+    # an orphan commit point newer than the live generation
+    junk_parquet = os.path.join(
+        out, m.get("postings_dir") or "postings", "group=77", "part-junk.parquet"
+    )
+    os.makedirs(os.path.dirname(junk_parquet), exist_ok=True)
+    open(junk_parquet, "wb").close()
+    junk_partial = os.path.join(out, "terms_partial", "group=999", "p.parquet")
+    os.makedirs(os.path.dirname(junk_partial), exist_ok=True)
+    open(junk_partial, "wb").close()
+    open(os.path.join(out, "manifest.json.pending_99"), "w").write("{}")
+    orphan_gen = int(m["generation"]) + 5
+    with open(os.path.join(out, "commits", f"segments_{orphan_gen}.json"), "w") as f:
+        json.dump({"generation": orphan_gen}, f)
+
+    removed = rollback_uncommitted(out)
+    assert not os.path.exists(junk_parquet)
+    assert not os.path.exists(os.path.dirname(junk_partial))
+    assert not os.path.exists(os.path.join(out, "manifest.json.pending_99"))
+    assert not os.path.exists(
+        os.path.join(out, "commits", f"segments_{orphan_gen}.json")
+    )
+    assert removed["pending"] and removed["orphan_commits"] and removed["files"]
+
+    # committed data untouched: same results, CheckIndex green
+    assert IndexSearcher(spark, out).count({"type": "term", "term": "window"}) == n
+    check_index(out, spark)
