@@ -128,17 +128,24 @@ class HnswGraph:
     # gracefully toward the sequential path instead of blowing memory
     VISITED_BUDGET_BYTES = 512 * 1024 * 1024
     # sequential bootstrap size before wave insertion starts: a seed
-    # graph built the exact per-insert way. 1024 keeps SMALL shards (a
-    # few hundred vectors) entirely on the sequential path — tiny wave
-    # graphs measured poor beam navigability when the first wave is a
-    # large fraction of the graph — while costing ~2s at 100k
-    BOOTSTRAP = 1024
+    # graph built the exact per-insert way — tiny wave graphs measured
+    # poor beam navigability when the first wave is a large fraction of
+    # the graph. Scalar inserts run ~300 vec/s, so this is front-loaded
+    # cost: 256 measured BETTER recall than 1024 at 30k-100k gaussian
+    # (the early waves' exact brute candidates beat early scalar beams)
+    # at a third of the bootstrap cost
+    BOOTSTRAP = 256
+    # graphs this small build fully sequentially (see add_batch)
+    SEQ_MAX = 1024
     # wave ceiling: bounds the O(W^2) intra-wave candidate pass and keeps
     # each wave small relative to the frozen graph (graph quality — wave
-    # peers search a snapshot that excludes each other's links; measured
-    # at 20k/64-d gaussian: cap 512 holds recall@400 within ~0.03 of the
-    # sequential build, cap 2048 costs ~0.12)
-    WAVE_CAP = 512
+    # peers search a snapshot that excludes each other's links). Smaller
+    # waves also measured FASTER end-to-end in the brute-candidate regime
+    # (survivor extraction and diversity gram matrices scale with W while
+    # the gemm total is W-invariant): 30k/64-d gaussian sweep — cap 128:
+    # 5,068 vec/s recall@400 0.996; cap 256: 4,936 / 0.994; cap 512:
+    # 3,590 / 0.992; cap 2048: 2,570 / 0.932
+    WAVE_CAP = 128
 
     def add_batch(self, ids: np.ndarray, vecs: np.ndarray) -> None:
         """Bulk insert via BATCH-INSERT WAVES (the vectorized analog of
@@ -176,8 +183,13 @@ class HnswGraph:
 
         end = base + k
         pos = base
-        # sequential bootstrap (also covers small batches entirely)
-        boot_end = min(end, max(self.BOOTSTRAP, self.n))
+        # sequential bootstrap; SMALL graphs (<= SEQ_MAX total) stay
+        # entirely on the exact per-insert path — waves that are a large
+        # fraction of a tiny graph measured worse beam navigability, and
+        # sequential cost is negligible at this size
+        boot_end = end if end <= self.SEQ_MAX else min(
+            end, max(self.BOOTSTRAP, self.n)
+        )
         while pos < boot_end:
             self.n = pos + 1
             self._insert(pos)
@@ -700,19 +712,34 @@ class HnswGraph:
         if n_frozen <= 8 * C:
             exact_rows_full(np.arange(W))
             return out_nodes, out_sims
-        # pass 1: sampled per-row threshold
+        # pass 1: sampled per-row threshold (kth margin 2.5x so cnt < C
+        # fallbacks — each a full 1-row gemm — stay rare)
         step = max(1, n_frozen // 2048)
         samp = Q @ Vt[::step].T
         k = samp.shape[1]
-        kth = min(k - 1, max(1, int(C * k / n_frozen * 2) + 1))
+        kth = min(k - 1, max(1, int(C * k / n_frozen * 2.5) + 1))
         thr = np.partition(samp, k - kth, axis=1)[:, k - kth]
-        # pass 2: column-blocked gemm + cache-hot survivor extraction
+        # pass 2: column-blocked gemm + cache-hot survivor extraction.
+        # flatnonzero on the raveled mask (one index array, derive
+        # row/col by shift/mask — B is a power of two) measured ~2x the
+        # 2-D nonzero, which fills two index arrays with a divmod pass;
+        # the mask buffer is reused across blocks (no per-block alloc)
         B = self.BRUTE_COL_BLOCK
+        assert B & (B - 1) == 0, "BRUTE_COL_BLOCK must be a power of two"
+        shift = B.bit_length() - 1
+        mask_buf = np.empty((W, B), dtype=bool)
         ri_parts, ci_parts, sv_parts = [], [], []
         for b0 in range(0, n_frozen, B):
             Sb = Q @ Vt[b0 : b0 + B].T
-            rb, cb = np.nonzero(Sb > thr[:, None])
-            if len(rb):
+            mb = mask_buf[:, : Sb.shape[1]]
+            np.greater(Sb, thr[:, None], out=mb)
+            flat = np.flatnonzero(mb.ravel() if Sb.shape[1] == B else mb)
+            if len(flat):
+                if Sb.shape[1] == B:
+                    rb = flat >> shift
+                    cb = flat & (B - 1)
+                else:
+                    rb, cb = np.divmod(flat, Sb.shape[1])
                 ri_parts.append(rb)
                 ci_parts.append((cb + b0).astype(np.int64))
                 sv_parts.append(Sb[rb, cb])

@@ -180,19 +180,26 @@ embeddings cluster and do better), local[32].
 | serialized shard size (chunked rows, <= 32 MB each) | {ser_mb:.1f} MB / shard ({len(rows)} rows) |
 
 Round-6 construction is BATCH-INSERT WAVES: level-0 nodes insert in
-waves of <= 512 against a frozen snapshot; below BRUTE_N_MAX the wave's
-neighbor candidates come from one EXACT sgemm over every frozen vector
-(+ a sampled-threshold top-C cut), so candidates are exact top-C and
-graph quality matches-or-beats the per-insert path (recall@400 0.93 vs
+waves of <= 128 against a frozen snapshot; below BRUTE_N_MAX the wave's
+neighbor candidates come from one EXACT column-blocked sgemm over every
+frozen vector (+ a sampled-threshold top-C cut, survivor extraction via
+flatnonzero on the raveled mask — the 2-D nonzero's divmod index fill
+was 33% of the whole build at 100k), so candidates are exact top-C and
+graph quality matches-or-beats the per-insert path (recall@400 0.95 vs
 0.91 sequential at 100k); above the cutoff a lockstep vectorized
 multi-query beam takes over (the 1M+-vector shard path, ~1.3-1.5k
 vec/s). Diversity selection and back-link pruning are batched numpy
 (HNSW alg. 4 in lockstep + one padded keep-closest prune per wave).
-r5 was 539 vec/s (per-insert Python beam); r4 was ~50. Lucene's Java
-writer does ~5-10k vec/s single-thread — the 1-thread kernel is now
-within ~3.5x, the default-threads kernel within ~2.5x, and shard
-writers still parallelize freely (segment = shard = task). The chunked
-layout keeps a 10M-vector shard at ~80 x 32 MB rows (no 2 GB ceiling).
+Small waves measured FASTER end-to-end than large ones (the gemm total
+is wave-invariant while extraction and diversity gram matrices scale
+with W), and a 256-node bootstrap beat the old 1024 on both speed and
+recall; graphs <= 1,024 nodes stay fully sequential. r5 was 539 vec/s
+(per-insert Python beam); r4 was ~50; the r6 first cut was 2,497.
+Lucene's Java writer does ~5-10k vec/s single-thread — the 1-thread
+kernel is now within ~2-4x, the default-threads kernel within ~1.1-2.2x,
+and shard writers still parallelize freely (segment = shard = task).
+The chunked layout keeps a 10M-vector shard at ~80 x 32 MB rows (no
+2 GB ceiling).
 
 ## Query
 
