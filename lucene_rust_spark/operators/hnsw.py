@@ -627,12 +627,14 @@ class HnswGraph:
     BUILD_THREADS = 1
     # below this frozen-graph size a wave's candidate search runs EXACT:
     # one BLAS sgemm of the wave queries against every inserted vector +
-    # a sampled-threshold top-C cut. At 64-d the gemm overtakes the beam
-    # under ~150-200k nodes (and parallelizes through OpenBLAS), and the
-    # candidates are EXACT top-C — construction quality can only match
-    # or beat the sequential insert path. Larger frozen graphs fall back
-    # to the lockstep beam (the 1M+-vector shard path).
-    BRUTE_N_MAX = 200_000
+    # a sampled-threshold top-C cut. At 64-d the gemm matches the beam's
+    # rate around ~300k nodes (measured 300k gaussian: all-brute 1,382
+    # vec/s recall@400 0.833 vs mixed 1,315 / 0.787 — exact candidates
+    # also build the better graph), parallelizes through OpenBLAS, and
+    # construction quality can only match or beat the sequential insert
+    # path. Larger frozen graphs fall back to the lockstep beam (the
+    # 1M+-vector shard path).
+    BRUTE_N_MAX = 300_000
     # upper layers use the same exact-brute candidates while the layer
     # membership is small (it is n/m^level — tiny until huge shards)
     UPPER_BRUTE_MAX = 50_000
