@@ -678,6 +678,63 @@ def _engine_count_threshold(spark, sf_dir):
     n, rel = s.count_with_threshold({"type": "term", "term": "merge"}, threshold=50)
     return spark.createDataFrame([(int(n), rel)], "n_hits long, relation string")
 
+def _engine_explain(spark, sf_dir):
+    """IndexSearcher.explain end-to-end (clt/search/explanation.rs +
+    Weight.explain): explain 'merge' on the deterministic first matching
+    doc, self-check the tree's float32 value against search()'s score,
+    then emit the tree's INPUTS (tf, SmallFloat-decoded dl, df) plus the
+    double-precision BM25 recomputed from those inputs — DuckDB
+    re-derives all of it from the raw text."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lucene_rust_spark.entry_helpers import gate_searcher
+
+    s = gate_searcher(spark, sf_dir)
+    q = {"type": "term", "term": "merge"}
+    hits = s.search(q, k=100_000)
+    schema = "doc_id long, tf long, dl long, df long, score double"
+    if not hits:
+        return spark.createDataFrame([], schema)
+    ids = [d for d, _ in hits]
+    rows = s.docmap.filter(F.col("doc_id").isin(ids)).select("doc_id", "path").collect()
+    orig = {int(r["doc_id"]): int(r["path"].split("/")[1]) for r in rows}
+    eng_doc = min(ids, key=lambda d: orig[d])
+    score = dict(hits)[eng_doc]
+    e = s.explain(q, eng_doc)
+    if not e["match"] or np.float32(e["value"]) != np.float32(score):
+        raise AssertionError(f"explain/search divergence: {e} vs {score}")
+    idf_d, freq_d = e["details"]
+    n = int(idf_d["details"][0]["value"])
+    N = int(idf_d["details"][1]["value"])
+    tf = int(freq_d["value"])
+    dl = int(freq_d["details"][0]["value"])
+    avgdl = float(freq_d["details"][1]["value"])
+    val = round(
+        math.log(1.0 + (N - n + 0.5) / (n + 0.5))
+        * (tf / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))),
+        4,
+    )
+    return spark.createDataFrame(
+        [(orig[eng_doc], tf, dl, n, val)], schema
+    )
+
+
+SQL_ENGINE_EXPLAIN = SQL_ENGINE_BM25_SCORES.replace(
+    """SELECT doc_id, tf::BIGINT AS tf, dlq::BIGINT AS dlq,
+  round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        * (tf / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dlv / (sum_dl::DOUBLE / n_docs)))), 4) AS score
+FROM dec""",
+    """SELECT doc_id, tf::BIGINT AS tf, dlv::BIGINT AS dl, df::BIGINT AS df,
+  round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        * (tf / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dlv / (sum_dl::DOUBLE / n_docs)))), 4) AS score
+FROM dec WHERE doc_id = (SELECT min(doc_id) FROM dec)""",
+)
+assert "dlv::BIGINT AS dl" in SQL_ENGINE_EXPLAIN
+
+
 def _engine_commit_travel(spark, sf_dir):
     """Point-in-time reads over retained commit points (clt/index/
     index_commit.rs, snapshot_deletion_policy.rs; DirectoryReader.open(
@@ -750,6 +807,7 @@ _ENGINE_QUERIES = {
         SQL_ENGINE_REGEXP_ALGEBRA_COUNTS,
     ),
     "engine_commit_travel": (_engine_commit_travel, SQL_ENGINE_COMMIT_TRAVEL),
+    "engine_explain": (_engine_explain, SQL_ENGINE_EXPLAIN),
     "engine_delete_count": (
         _engine_delete_count,
         f"{_TOKS_CTE} SELECT count(*)::BIGINT AS n_hits "

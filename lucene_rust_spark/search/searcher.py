@@ -119,6 +119,28 @@ def combine_bool_arrays(
     return all_docs[ok], acc[ok]
 
 
+def phrase_doc_freq(pos_by_slot, slot_offs, slop: int, lucene_mode: bool):
+    """Per-doc phrase frequency over per-slot position arrays — the ONE
+    matcher shared by the driver phrase path and explain(): the pinned
+    displacement window, or the exact Lucene pq kernel for
+    slop_mode='lucene'."""
+    if lucene_mode:
+        from lucene_rust_spark.search.sloppy import lucene_sloppy_freq
+
+        return lucene_sloppy_freq(
+            [a - off for off, a in zip(slot_offs, pos_by_slot)], slop
+        )
+    sets = [set(a.tolist()) for a in pos_by_slot]
+    freq = 0
+    for p0 in sorted(sets[0]):
+        if all(
+            any(abs(p - (p0 + slot_offs[i])) <= slop for p in sets[i])
+            for i in range(1, len(sets))
+        ):
+            freq += 1
+    return freq
+
+
 def combine_indri_arrays(term_arrays: dict, terms: list, cp_map: dict, sim):
     """The pinned Indri smoothed-AND combine (clt/search/mod.rs:65-70
     indri_and_query/scorer [stub]; Lucene 9 semantics): over docs matching
@@ -917,6 +939,57 @@ class IndexSearcher:
 
         return blocks.mapInPandas(decode, schema="doc_id long").distinct()
 
+    def _doc_positions(self, terms: list[str], doc_id: int):
+        """(term -> int64 positions array, dlq) for ONE doc — the
+        positions analog of term_vector's zone-map block seek: one
+        collected block per term that could contain the doc, positions
+        delta-decoded only for the doc's slice. Returns (None, 0) when
+        no term matches the doc. Feeds explain()'s phrase leaf."""
+        did = int(doc_id)
+        if not hasattr(self, "_blocks_pos_seek_sel"):
+            self._blocks_pos_seek_sel = self.postings.select(
+                "term", "n", "first_doc", "last_doc",
+                "docs_bin", "tfs_bin", "dlq_bin", "pos_bin",
+            )
+        if all(
+            t.isascii() and all(c.isalnum() or c in "_-." for c in t) for t in terms
+        ):
+            in_list = ",".join(f"'{t}'" for t in terms)
+            src = self._blocks_pos_seek_sel.filter(f"term IN ({in_list})")
+        else:
+            src = self._blocks_pos_seek_sel.filter(F.col("term").isin(list(terms)))
+        rows = src.filter(f"first_doc <= {did} AND last_doc >= {did}").collect()
+        out: dict[str, np.ndarray] = {}
+        dlq_out = 0
+        for r in rows:
+            n = int(r["n"])
+            docs = np.int64(r["first_doc"]) + np.cumsum(
+                K.for_unpack(bytes(r["docs_bin"]), n)
+            ).astype(np.int64)
+            i = int(np.searchsorted(docs, did))
+            if i >= len(docs) or int(docs[i]) != did:
+                continue
+            tfs = K.for_unpack(bytes(r["tfs_bin"]), n).astype(np.int64)
+            total = int(tfs.sum())
+            pdeltas = K.for_unpack(bytes(r["pos_bin"]), total).astype(np.int64)
+            offs = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+            lo, hi = int(offs[i]), int(offs[i] + tfs[i])
+            out[r["term"]] = np.cumsum(pdeltas[lo:hi])
+            dlq_out = int(
+                np.frombuffer(bytes(r["dlq_bin"]), dtype=np.uint8)[i]
+            )
+        if not out:
+            return None, 0
+        return out, dlq_out
+
+    def explain(self, query: dict, doc_id: int) -> dict:
+        """Explanation tree for one (query, doc) — IndexSearcher.explain
+        (clt/search/explanation.rs). The tree's value equals search()'s
+        float32 score for the doc (tested)."""
+        from lucene_rust_spark.search.explain import explain as _explain
+
+        return _explain(self, query, doc_id)
+
     def term_vector(self, doc_id: int) -> DataFrame:
         """(term string, tf int) for ONE doc — the TermVectors reader
         surface (clt/codecs/lucene90/mod.rs:25 term_vectors [stub];
@@ -1583,19 +1656,7 @@ class IndexSearcher:
                 np.unique(np.concatenate([term_pos[t].get(doc, _EMPTY_I64) for t in s]))
                 for s in slots
             ]
-            if lucene_mode:
-                freq = lucene_sloppy_freq(
-                    [a - off for off, a in zip(slot_offs, pos_by_slot)], slop
-                )
-            else:
-                sets = [set(a.tolist()) for a in pos_by_slot]
-                freq = 0
-                for p0 in sorted(sets[0]):
-                    if all(
-                        any(abs(p - (p0 + slot_offs[i])) <= slop for p in sets[i])
-                        for i in range(1, len(sets))
-                    ):
-                        freq += 1
+            freq = phrase_doc_freq(pos_by_slot, slot_offs, slop, lucene_mode)
             if freq:
                 hit_docs.append(doc)
                 freqs.append(freq)
@@ -2073,83 +2134,6 @@ class IndexSearcher:
         if n > threshold:
             return threshold, "GREATER_THAN_OR_EQUAL_TO"
         return n, "EQUAL_TO"
-
-    def explain(self, query: dict, doc_id: int) -> dict:
-        """IndexSearcher.explain analog (Lucene's Explanation tree;
-        clt/search/index_searcher.rs [stub]): the score breakdown of one
-        doc for a term/bool query — per matching term its tf, stored norm
-        byte, decoded doc length, per-term statistic (weight), and float32
-        score, plus the pinned ascending-term combine. `match` is False
-        (with a reason) when the doc fails MUST/minShouldMatch/MUST_NOT
-        or is deleted."""
-        if query.get("type") not in ("term", "bool"):
-            raise ValueError("explain supports term/bool queries")
-        must, should, must_not, msm = query_terms(query)
-        must_set, should_set = sorted(set(must)), sorted(set(should))
-        mn_all = sorted(set(must_not))
-        stats = self.term_stats(sorted(set(must_set) | set(should_set) | set(mn_all)))
-        out: dict = {"doc_id": int(doc_id), "match": False, "score": 0.0, "details": []}
-        if msm > len(should_set):
-            out["reason"] = "minimumNumberShouldMatch exceeds SHOULD clause count"
-            return out
-        arrs = self._driver_collect_postings(
-            [t for t in sorted(set(must_set) | set(should_set) | set(mn_all)) if t in stats],
-            doc_id=int(doc_id),
-        ) or {}
-        hit_terms: dict[str, tuple] = {}
-        for t, (docs, tfs, dlqs) in arrs.items():
-            i = np.searchsorted(docs, doc_id)
-            if i < len(docs) and docs[i] == doc_id:
-                hit_terms[t] = (int(tfs[i]), int(dlqs[i]))
-        for t in mn_all:
-            if t in hit_terms:
-                out["reason"] = f"MUST_NOT term {t!r} matches"
-                return out
-        if any(t not in hit_terms for t in must_set):
-            missing = [t for t in must_set if t not in hit_terms]
-            out["reason"] = f"MUST terms not matched: {missing}"
-            return out
-        n_should = sum(1 for t in should_set if t in hit_terms)
-        need = max(msm, 0 if must_set else 1) if should_set else 0
-        if should_set and n_should < need:
-            out["reason"] = f"only {n_should} SHOULD terms matched, need {need}"
-            return out
-        if self.tombstones is not None and self._driver_tomb_ready():
-            if bool(np.isin(np.array([doc_id]), self._tomb_ids)[0]):
-                out["reason"] = "doc is deleted (tombstoned)"
-                return out
-        acc = np.float32(0.0)
-        scoring = sorted(set(must_set) | set(should_set))
-        for t in scoring:
-            if t not in hit_terms:
-                continue
-            tf, dlq = hit_terms[t]
-            w = np.float32(stats[t]["idf"])
-            sc = self.sim.score(
-                np.array([tf], dtype=np.int64),
-                np.array([dlq], dtype=np.int64),
-                np.full(1, w, dtype=np.float32),
-            )[0]
-            acc = np.float32(acc + np.float32(sc))
-            out["details"].append(
-                {
-                    "term": t,
-                    "tf": tf,
-                    "norm_byte": dlq,
-                    "doc_length": int(K.byte4_to_int(np.array([dlq]))[0]),
-                    "doc_freq": stats[t]["doc_freq"],
-                    "weight": float(w),
-                    "score": float(np.float32(sc)),
-                    "similarity": self.sim.name,
-                }
-            )
-        out["match"] = True
-        out["score"] = float(acc)
-        out["description"] = (
-            "float32 left-fold of per-term scores in ascending-term order "
-            f"({self.sim.name}); avgdl={float(self.avgdl)}"
-        )
-        return out
 
     def fetch(self, hits_df: DataFrame) -> DataFrame:
         """Join top-k back to the doc map — the stored-fields fetch."""

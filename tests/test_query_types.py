@@ -434,9 +434,9 @@ def test_driver_path_equals_distributed(searcher):
 
 
 def test_explain(searcher):
-    """explain(): the breakdown's total equals the search score exactly
-    (float32), details are per-term consistent, and non-matching docs give
-    a reason instead of a score."""
+    """explain(): the Explanation tree's value equals the search score
+    exactly (float32), details are per-clause consistent, and
+    non-matching docs give a reason instead of a score."""
     import numpy as np
 
     q = bool_query(must=["merge"], should=["window"], must_not=["batch"])
@@ -445,22 +445,20 @@ def test_explain(searcher):
     for d, s in hits[:3]:
         ex = searcher.explain(q, d)
         assert ex["match"] is True
-        assert np.float32(ex["score"]) == np.float32(s), d
-        terms = {det["term"] for det in ex["details"]}
-        assert "merge" in terms and "batch" not in terms
-        for det in ex["details"]:
-            assert det["tf"] >= 1 and 0 <= det["norm_byte"] <= 255
+        assert np.float32(ex["value"]) == np.float32(s), d
+        descs = " | ".join(det["description"] for det in ex["details"])
+        assert "'merge'" in descs and "MUST" in descs
     # a doc that matches the MUST_NOT term must be rejected with a reason
     bad = searcher.search(term_query("batch"), 1)[0][0]
     ex = searcher.explain(q, bad)
-    assert ex["match"] is False and "MUST_NOT" in ex["reason"]
+    assert ex["match"] is False and "MUST_NOT" in ex["description"]
     # a doc missing the MUST term
     only_window = searcher.search(
         bool_query(must=["window"], must_not=["merge"]), 1
     )
     if only_window:
         ex = searcher.explain(q, only_window[0][0])
-        assert ex["match"] is False and "MUST terms" in ex["reason"]
+        assert ex["match"] is False and "MUST clause" in ex["description"]
 
 
 def test_ngram_phrase_query(spark, tmp_path_factory):
