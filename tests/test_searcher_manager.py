@@ -205,3 +205,59 @@ def test_prune_keeps_pinned_and_current_generations(spark, managed_index):
     with mgr.searcher() as s:
         assert s.count(term_query("merge")) > 0
     mgr.close()
+
+
+def test_live_field_values(spark, managed_index):
+    """LiveFieldValues (clt/search/live_field_values.rs): get-by-key is
+    real-time across the refresh gap — RAM window before refresh, the
+    searcher after; tracked deletes mask older searcher hits; a no-op
+    refresh still drops the old window."""
+    from lucene_rust_spark.search.live_values import LiveFieldValues
+    from lucene_rust_spark.search.searcher_manager import SearcherManager
+    from lucene_rust_spark.streaming.incremental import append_batch
+
+    out, b0, b1 = managed_index
+    mgr = SearcherManager(spark, out, cache=True)
+
+    def lookup(searcher, path):
+        row = (
+            searcher.docmap.filter(F.col("path") == path)
+            .select("lang").take(1)
+        )
+        return row[0]["lang"] if row else None
+
+    lfv = LiveFieldValues(mgr, lookup)
+
+    # searcher fallback: a doc already searchable resolves via docmap
+    known = b0.select("path", "lang").first()
+    assert lfv.get(known["path"]) == known["lang"]
+
+    # index a new batch; the writer tracks values BEFORE any refresh
+    new_rows = b1.select("path", "lang").collect()
+    for r in new_rows:
+        lfv.add(r["path"], r["lang"])
+    append_batch(spark, b1, out, epoch=0, num_partitions=4)
+
+    # pre-refresh: searcher can't see them, LiveFieldValues can
+    s = mgr.acquire()
+    try:
+        assert s.docmap.filter(F.col("path") == new_rows[0]["path"]).count() == 0
+    finally:
+        mgr.release(s)
+    assert lfv.get(new_rows[0]["path"]) == new_rows[0]["lang"]
+    assert lfv.size() == len(new_rows)
+
+    # tracked delete masks the value even though b0 still matches it
+    lfv.delete(known["path"])
+    assert lfv.get(known["path"]) is None
+    lfv.add(known["path"], known["lang"])  # restore
+
+    # refresh: the RAM window drains, the searcher takes over seamlessly
+    mgr.maybe_refresh_blocking()
+    assert lfv.size() == 0
+    assert lfv.get(new_rows[0]["path"]) == new_rows[0]["lang"]
+    # a no-op refresh keeps everything consistent
+    mgr.maybe_refresh_blocking()
+    assert lfv.get(known["path"]) == known["lang"]
+    lfv.close()
+    mgr.close()
