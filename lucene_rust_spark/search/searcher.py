@@ -2088,6 +2088,18 @@ class IndexSearcher:
         )
         return combined.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def rescore_by_sort(
+        self, first_pass: DataFrame, sort: list[dict], k: int = 10
+    ) -> DataFrame:
+        """SortRescorer (clt/search/sort_rescorer.rs [stub]): re-order the
+        first-pass window by stored docmap fields instead of combining
+        scores — the cheap second pass for "top 100 by relevance, then
+        newest first". Sort specs as in search_by_field (include
+        {"field": "_score"} in the spec list to keep relevance in the
+        output); delegates to its replay path, so the comparator,
+        missing-value, and tie rules are identical by construction."""
+        return self.search_by_field({}, sort, k=k, hits=first_pass)
+
     def count(self, query: dict) -> int:
         """TotalHitCountCollector (clt/search/mod.rs:161): exact hit count
         over the unscored matching doc set — no scoring, no global sort.

@@ -54,3 +54,31 @@ def test_caching_collector_replay(searcher):
         assert abs(mx - top[0]["score"]) < 1e-6
     # context exit released the cache; a fresh collector still works
     assert CachingCollector(searcher, q).total_hits() == searcher.count(q)
+
+
+def test_rescore_by_sort(searcher):
+    """SortRescorer (clt/search/sort_rescorer.rs): re-order the first-pass
+    window by stored fields; verified against an independent pandas sort
+    of the same window."""
+    import pytest
+    q = {"type": "term", "term": "merge"}
+    first = searcher.search_df(q, 30)
+    got = [
+        (r["doc_id"], r["lang"])
+        for r in searcher.rescore_by_sort(
+            first, [{"field": "lang"}, {"field": "path", "reverse": True}], k=10
+        ).collect()
+    ]
+    window = first.join(searcher.docmap, "doc_id").select(
+        "doc_id", "lang", "path"
+    ).toPandas()
+    window = window.sort_values(
+        ["lang", "path", "doc_id"], ascending=[True, False, True]
+    ).head(10)
+    assert got == list(zip(window["doc_id"], window["lang"]))
+    # _score spec keeps relevance in the output and orders by it
+    re2 = searcher.rescore_by_sort(first, [{"field": "_score"}], k=5).collect()
+    top = searcher.search(q, 5)
+    assert [(r["doc_id"], r["score"]) for r in re2] == [
+        (d, pytest.approx(s)) for d, s in top
+    ]

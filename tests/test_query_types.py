@@ -572,3 +572,63 @@ def test_ngram_phrase_dataframe_path_slop_and_lucene_mode(spark, tmp_path_factor
             ), probe
     finally:
         s.DRIVER_EXEC_MAX_POSTINGS = IndexSearcher.DRIVER_EXEC_MAX_POSTINGS
+
+
+def test_query_visitor(searcher):
+    """QueryVisitor (clt/search/query_visitor.rs): term extraction walks
+    the AST, skips MUST_NOT by default, surfaces multi-term leaves as
+    predicates, and custom sub-visitors see the occur boundaries."""
+    from lucene_rust_spark.search.visitor import (
+        MUST_NOT,
+        QueryVisitor,
+        extract_terms,
+        visit_query,
+    )
+
+    q = {
+        "type": "bool",
+        "must": [{"type": "term", "term": "merge"}],
+        "should": [
+            {"type": "term", "term": "window"},
+            {"type": "boost", "boost": 2.0, "query": {"type": "term", "term": "data"}},
+        ],
+        "must_not": [{"type": "term", "term": "batch"}],
+        "min_should_match": 0,
+    }
+    assert extract_terms(q) == {"merge", "window", "data"}  # MUST_NOT skipped
+    assert extract_terms({"type": "phrase", "terms": ["a", "b"]}) == {"a", "b"}
+    assert extract_terms({"type": "synonym", "terms": ["x", "y"]}) == {"x", "y"}
+
+    # multi-term leaves surface as predicates (the automaton analog)
+    class Multi(QueryVisitor):
+        def __init__(self):
+            self.preds = []
+
+        def consume_terms_matching(self, query, predicate):
+            self.preds.append(predicate)
+
+    v = Multi()
+    visit_query({"type": "prefix", "prefix": "mer"}, v)
+    assert len(v.preds) == 1 and v.preds[0]("merge") and not v.preds[0]("window")
+
+    # a visitor that DOES want MUST_NOT terms can opt in
+    class WithNot(QueryVisitor):
+        def __init__(self):
+            self.terms, self.not_terms = set(), set()
+            self._in_not = False
+
+        def consume_terms(self, query, *terms):
+            (self.not_terms if self._in_not else self.terms).update(terms)
+
+        def get_sub_visitor(self, occur, parent):
+            if occur == MUST_NOT:
+                w = WithNot()
+                w.terms = self.terms
+                w.not_terms = self.not_terms
+                w._in_not = True
+                return w
+            return self
+
+    w = WithNot()
+    visit_query(q, w)
+    assert w.not_terms == {"batch"} and "merge" in w.terms
