@@ -194,7 +194,9 @@ Small waves measured FASTER end-to-end than large ones (the gemm total
 is wave-invariant while extraction and diversity gram matrices scale
 with W), and a 256-node bootstrap beat the old 1024 on both speed and
 recall; graphs <= 1,024 nodes stay fully sequential. r5 was 539 vec/s
-(per-insert Python beam); r4 was ~50; the r6 first cut was 2,497.
+(per-insert Python beam); r4 was ~50; the r6 first cut was 2,497; the final r6 kernel adds batched
+upper-layer placement (one gemm per layer per wave against the frozen
+membership instead of per-node scalar descents).
 Lucene's Java writer does ~5-10k vec/s single-thread — the 1-thread
 kernel is now within ~2-4x, the default-threads kernel within ~1.1-2.2x,
 and shard writers still parallelize freely (segment = shard = task).
