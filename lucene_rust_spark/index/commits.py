@@ -369,3 +369,59 @@ def rollback_uncommitted(index_dir: str) -> dict:
             shutil.rmtree(d, ignore_errors=True)
             removed["dirs"].append(os.path.relpath(d, index_dir))
     return removed
+
+
+def check_commits(index_dir: str) -> dict:
+    """CheckIndex extension for the commit machinery: every retained
+    commit point parses, is internally consistent, and every file it
+    stamps EXISTS (a missing stamped file means the deletion policy or a
+    manual cleanup broke a commit that claims to be openable); pending
+    manifests and orphan commit jsons are surfaced (rollback_uncommitted
+    fodder, not corruption); persistent snapshots reference retained
+    generations only. Raises AssertionError on real corruption; returns
+    the checked facts."""
+    import glob as _glob
+
+    live = read_manifest(index_dir)
+    assert live is not None, f"no manifest in {index_dir}"
+    live_gen = int(live["generation"])
+    commits = list_commits(index_dir)
+    gens = [c.generation for c in commits]
+    assert gens == sorted(gens), f"commit generations out of order: {gens}"
+    assert live_gen in gens, (
+        f"live generation {live_gen} has no retained commit point"
+    )
+    missing: dict[int, list[str]] = {}
+    for c in commits:
+        if c.generation > live_gen:
+            continue  # orphan from a crashed finish_commit — reported below
+        assert int(c.manifest["generation"]) == c.generation
+        lost = [
+            rel
+            for rel in c.file_names()
+            if not os.path.exists(os.path.join(index_dir, rel))
+        ]
+        if lost:
+            missing[c.generation] = lost
+    assert not missing, f"retained commits stamp missing files: {missing}"
+    pending = sorted(
+        os.path.basename(p)
+        for p in _glob.glob(os.path.join(index_dir, f"{PENDING_PREFIX}*"))
+    )
+    orphans = sorted(g for g in gens if g > live_gen)
+    snap_path = os.path.join(index_dir, COMMITS_DIR, "snapshots.json")
+    snapshotted: list[int] = []
+    if os.path.exists(snap_path):
+        with open(snap_path) as f:
+            refs = {int(k): int(v) for k, v in json.load(f).items()}
+        assert all(v > 0 for v in refs.values()), f"non-positive snapshot refs: {refs}"
+        dangling = sorted(g for g in refs if g not in gens)
+        assert not dangling, f"snapshots pin unretained generations: {dangling}"
+        snapshotted = sorted(refs)
+    return {
+        "live_generation": live_gen,
+        "retained_generations": gens,
+        "pending_manifests": pending,
+        "orphan_commit_points": orphans,
+        "snapshotted_generations": snapshotted,
+    }

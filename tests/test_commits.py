@@ -407,3 +407,43 @@ def test_rollback_uncommitted_drops_writer_leftovers(spark, gen_index):
     # committed data untouched: same results, CheckIndex green
     assert IndexSearcher(spark, out).count({"type": "term", "term": "window"}) == n
     check_index(out, spark)
+
+
+def test_check_commits(spark, gen_index):
+    import os
+
+    from lucene_rust_spark.index.commits import (
+        PersistentSnapshotDeletionPolicy,
+        check_commits,
+    )
+    from lucene_rust_spark.index.manifest import read_manifest
+
+    out, _b0, _b1 = gen_index
+    info = check_commits(out)
+    assert info["live_generation"] == int(read_manifest(out)["generation"])
+    assert len(info["retained_generations"]) == 3
+    assert not info["pending_manifests"] and not info["orphan_commit_points"]
+
+    # a persistent snapshot shows up; a dangling one is corruption
+    pol = PersistentSnapshotDeletionPolicy(out)
+    pol.snapshot()
+    assert check_commits(out)["snapshotted_generations"] == [
+        info["live_generation"]
+    ]
+
+    # deleting a stamped file is REAL corruption: check_commits raises
+    m = read_manifest(out)
+    victim = m["store_files"][m.get("docmap_dir") or "docmap"][0]
+    os.rename(
+        os.path.join(out, victim), os.path.join(out, victim + ".hidden")
+    )
+    try:
+        import pytest
+
+        with pytest.raises(AssertionError, match="missing files"):
+            check_commits(out)
+    finally:
+        os.rename(
+            os.path.join(out, victim + ".hidden"), os.path.join(out, victim)
+        )
+    check_commits(out)
