@@ -773,6 +773,12 @@ SELECT
 """
 
 
+def _sf01_commit_travel(spark, sf_dir):
+    """Commit-point time travel at bench scale (5,000-doc corpus): the
+    same three-view check as engine_commit_travel, pinned to sf0.1."""
+    return _engine_commit_travel(spark, "/root/testdata/sf0.1")
+
+
 def _sf01_engine_bm25(spark, sf_dir):
     """The engine postings-scoring gate pinned to the sf0.1 bench corpus
     (5,000-doc index via gate_searcher's on-disk cache): FOR-block
@@ -808,6 +814,13 @@ _ENGINE_QUERIES = {
     ),
     "engine_commit_travel": (_engine_commit_travel, SQL_ENGINE_COMMIT_TRAVEL),
     "engine_explain": (_engine_explain, SQL_ENGINE_EXPLAIN),
+    "sf01_commit_travel": (
+        _sf01_commit_travel,
+        SQL_ENGINE_COMMIT_TRAVEL.replace(
+            "FROM documents",
+            "FROM read_parquet('/root/testdata/sf0.1/documents.parquet')",
+        ),
+    ),
     "engine_delete_count": (
         _engine_delete_count,
         f"{_TOKS_CTE} SELECT count(*)::BIGINT AS n_hits "
