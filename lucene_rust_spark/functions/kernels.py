@@ -119,6 +119,17 @@ def zigzag_decode(u: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+_SHIFTS_CACHE: dict = {}
+
+
+def _shifts(bw: int) -> np.ndarray:
+    s = _SHIFTS_CACHE.get(bw)
+    if s is None:
+        s = np.arange(bw - 1, -1, -1, dtype=np.uint64)
+        _SHIFTS_CACHE[bw] = s
+    return s
+
+
 def for_pack(values: np.ndarray) -> bytes:
     v = values.astype(np.uint64)
     if len(v) == 0:
@@ -127,10 +138,78 @@ def for_pack(values: np.ndarray) -> bytes:
     bw = m.bit_length()
     if bw == 0:
         return bytes([0])
-    shifts = np.arange(bw - 1, -1, -1, dtype=np.uint64)
+    shifts = _shifts(bw)
     bits = ((v[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
     packed = np.packbits(bits.ravel())
     return bytes([bw]) + packed.tobytes()
+
+
+def bit_length_arr(m: np.ndarray) -> np.ndarray:
+    """Exact vectorized int.bit_length for uint64 arrays."""
+    m = m.astype(np.uint64, copy=False)
+    bw = np.zeros(len(m), dtype=np.int64)
+    x = m.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        hit = (x >> np.uint64(s)) != 0
+        bw[hit] += s
+        x[hit] >>= np.uint64(s)
+    bw[m != 0] += 1
+    return bw
+
+
+def for_pack_batch(values: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> list:
+    """[for_pack(values[s:e]) for s, e in zip(starts, ends)], vectorized.
+
+    REQUIRES the (s, e) slices to tile `values` contiguously (ends[i] ==
+    starts[i+1]) — the _pack_runs block layout — so per-slice maxima come
+    from one reduceat. Blocks are grouped by (bit width, length) and each
+    group's bit matrix is built with one strided fill per bit + one
+    packbits call, replacing ~3 numpy calls per block with ~bw calls per
+    group (byte-identical output, tests/test_kernels.py)."""
+    nb = len(starts)
+    out: list = [None] * nb
+    if nb == 0:
+        return out
+    v = values.astype(np.uint64, copy=False)
+    ns = (ends - starts).astype(np.int64)
+    maxes = np.maximum.reduceat(v, starts) if len(v) else np.zeros(nb, dtype=np.uint64)
+    bws = bit_length_arr(maxes)
+    bws[ns == 0] = 0
+    for i in np.flatnonzero(bws == 0):
+        out[i] = b"\x00"
+    nz = np.flatnonzero(bws != 0)
+    if len(nz) == 0:
+        return out
+    order = nz[np.lexsort((ns[nz], bws[nz]))]
+    gb, gn = bws[order], ns[order]
+    cut = np.flatnonzero((gb[1:] != gb[:-1]) | (gn[1:] != gn[:-1]))
+    gstarts = np.concatenate(([0], cut + 1))
+    gends = np.concatenate((cut + 1, [len(order)]))
+    for gs, ge in zip(gstarts, gends):
+        bw, n = int(gb[gs]), int(gn[gs])
+        idxs = order[gs:ge]
+        nbytes_payload = (n * bw + 7) // 8
+        # chunk so the (k, n) gather + per-bit temps stay cache-friendly
+        max_k = max(1, (1 << 22) // max(n, 1))
+        col = np.arange(n, dtype=np.int64)
+        for c0 in range(0, len(idxs), max_k):
+            idxc = idxs[c0 : c0 + max_k]
+            k = len(idxc)
+            mat = v[starts[idxc][:, None] + col[None, :]]  # (k, n)
+            bits = np.empty((k, n * bw), dtype=np.uint8)
+            for j in range(bw):
+                bits[:, j::bw] = (
+                    (mat >> np.uint64(bw - 1 - j)) & np.uint64(1)
+                ).astype(np.uint8)
+            packed = np.packbits(bits, axis=1)
+            rows = np.empty((k, 1 + nbytes_payload), dtype=np.uint8)
+            rows[:, 0] = bw
+            rows[:, 1:] = packed
+            rb = rows.tobytes()
+            w = 1 + nbytes_payload
+            for jj, i in enumerate(idxc):
+                out[i] = rb[jj * w : (jj + 1) * w]
+    return out
 
 
 _PFOR_MARKER = 255  # legit FOR bitwidths are 0..64, so 255/254 are free

@@ -211,6 +211,39 @@ def block_impacts(tfs: np.ndarray, dlqs: np.ndarray) -> tuple[list[int], list[in
     return ts[keep].astype(np.int32).tolist(), qs[keep].astype(np.int32).tolist()
 
 
+def block_impacts_batch(
+    tfs: np.ndarray, dlqs: np.ndarray, bstarts: np.ndarray, bends: np.ndarray
+) -> list:
+    """[block_impacts(tfs[s:e], dlqs[s:e]) for s, e], vectorized: one global
+    stable argsort (block-major, tf desc, dlq asc — dlq is a byte so the
+    composite integer key is exact) + the offset trick for a segmented
+    running min. Requires the slices to tile the arrays (the _pack_runs
+    block layout); output identical to per-block block_impacts."""
+    nb = len(bstarts)
+    if nb == 0:
+        return []
+    ns = (bends - bstarts).astype(np.int64)
+    B = np.repeat(np.arange(nb, dtype=np.int64), ns)
+    maxtf = int(tfs.max())
+    key = (B * (maxtf + 1) + (maxtf - tfs)) * 256 + dlqs
+    order = np.argsort(key, kind="stable")
+    ts, qs = tfs[order], dlqs[order]
+    # B[order] == B: the key is block-major and the slices tile the input
+    w = B * 256 - qs
+    runmin = B * 256 - np.maximum.accumulate(w)
+    keep = np.empty(len(ts), dtype=bool)
+    keep[0] = True
+    keep[1:] = (qs[1:] < runmin[:-1]) | (B[1:] != B[:-1])
+    kt = ts[keep].astype(np.int32)
+    kq = qs[keep].astype(np.int32)
+    cnt = np.add.reduceat(keep.astype(np.int64), bstarts)
+    offs = np.concatenate(([0], np.cumsum(cnt)))
+    return [
+        (kt[offs[i] : offs[i + 1]].tolist(), kq[offs[i] : offs[i + 1]].tolist())
+        for i in range(nb)
+    ]
+
+
 def _pack_runs(
     term_arr, seg_arr, docs, tfs, dlqs, term_values=None,
     pos_flat=None, pos_offsets=None, pfor=False,
@@ -246,10 +279,14 @@ def _pack_runs(
     tfs_u = tfs.astype(np.uint64)
     dlq_u8 = dlqs.astype(np.uint8)
     pack = K.pfor_pack if pfor else K.for_pack
-    docs_bin = [pack(deltas_u[s:e]) for s, e in zip(bstarts, bends)]
-    tfs_bin = [pack(tfs_u[s:e]) for s, e in zip(bstarts, bends)]
+    if pfor:
+        docs_bin = [pack(deltas_u[s:e]) for s, e in zip(bstarts, bends)]
+        tfs_bin = [pack(tfs_u[s:e]) for s, e in zip(bstarts, bends)]
+    else:
+        docs_bin = K.for_pack_batch(deltas_u, bstarts, bends)
+        tfs_bin = K.for_pack_batch(tfs_u, bstarts, bends)
     dlq_bin = [dlq_u8[s:e].tobytes() for s, e in zip(bstarts, bends)]
-    impacts = [block_impacts(tfs[s:e], dlqs[s:e]) for s, e in zip(bstarts, bends)]
+    impacts = block_impacts_batch(tfs, dlqs, bstarts, bends)
     if pos_flat is not None:
         # positions: within-posting delta encode (reset at posting starts),
         # one FOR-packed blob per block (the .pos stream analog,
@@ -261,10 +298,15 @@ def _pack_runs(
             starts_of_postings = pos_offsets[:-1]
             pdeltas[starts_of_postings] = pos_flat[starts_of_postings]
         pdeltas_u = pdeltas.astype(np.uint64)
-        pos_bin = [
-            pack(pdeltas_u[pos_offsets[s] : pos_offsets[e]])
-            for s, e in zip(bstarts, bends)
-        ]
+        if pfor:
+            pos_bin = [
+                pack(pdeltas_u[pos_offsets[s] : pos_offsets[e]])
+                for s, e in zip(bstarts, bends)
+            ]
+        else:
+            pos_bin = K.for_pack_batch(
+                pdeltas_u, pos_offsets[bstarts], pos_offsets[bends]
+            )
     else:
         pos_bin = [b""] * len(bstarts)
     if off_start_flat is not None:
@@ -279,14 +321,22 @@ def _pack_runs(
             odeltas[starts_of_postings] = off_start_flat[starts_of_postings]
         odeltas_u = odeltas.astype(np.uint64)
         olen_u = off_len_flat.astype(np.uint64)
-        offs_bin = [
-            pack(odeltas_u[pos_offsets[s] : pos_offsets[e]])
-            for s, e in zip(bstarts, bends)
-        ]
-        olen_bin = [
-            pack(olen_u[pos_offsets[s] : pos_offsets[e]])
-            for s, e in zip(bstarts, bends)
-        ]
+        if pfor:
+            offs_bin = [
+                pack(odeltas_u[pos_offsets[s] : pos_offsets[e]])
+                for s, e in zip(bstarts, bends)
+            ]
+            olen_bin = [
+                pack(olen_u[pos_offsets[s] : pos_offsets[e]])
+                for s, e in zip(bstarts, bends)
+            ]
+        else:
+            offs_bin = K.for_pack_batch(
+                odeltas_u, pos_offsets[bstarts], pos_offsets[bends]
+            )
+            olen_bin = K.for_pack_batch(
+                olen_u, pos_offsets[bstarts], pos_offsets[bends]
+            )
     else:
         offs_bin = [b""] * len(bstarts)
         olen_bin = [b""] * len(bstarts)
@@ -365,6 +415,119 @@ def _pack_partition(batches):
             yield out
 
 
+
+
+# --- ASCII fast path: tokenize without Python string objects ----------------
+# The pinned analyzer is `\w+` runs (unicode), <=255 chars, lowercase. On
+# pure-ASCII text `(?U)\w` is exactly [0-9A-Za-z_] and lowercasing is the
+# 0x20-bit flip, so the whole token stream can be produced by byte-LUT
+# classification + run detection in numpy and dictionary-encoded by Arrow —
+# no per-token Python objects (guide §4.2). Non-ASCII batches (or analyzer
+# options the LUT can't express) fall back to the regex path, so the token
+# stream is byte-identical by construction (tests/test_build_fastpath.py).
+
+_WORD_LUT = np.zeros(256, dtype=bool)
+for _a, _b in ((48, 58), (65, 91), (97, 123)):
+    _WORD_LUT[_a:_b] = True
+_WORD_LUT[ord("_")] = True
+_LOWER_LUT = np.arange(256, dtype=np.uint8)
+_LOWER_LUT[65:91] += 32
+
+_MAX_TOKEN_LENGTH = 255  # analysis.MAX_TOKEN_LENGTH (StandardAnalyzer default)
+
+
+def _ascii_token_stream(arr):
+    """Token stream of an all-ASCII null-free pa.StringArray: returns
+    (codes int64[ntok], tok_doc int64[ntok], uniques object[nuniq],
+    tok_per_doc int64[ndocs]) with tokens in document order, filtered to
+    <=255 chars and lowercased — the tokenize_series contract."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ndocs = len(arr)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+    offs = offs[arr.offset : arr.offset + ndocs + 1].astype(np.int64)
+    base = int(offs[0])
+    total = int(offs[-1]) - base
+    empty_i = np.zeros(0, dtype=np.int64)
+    if total == 0:
+        return empty_i, empty_i, np.zeros(0, dtype=object), np.zeros(ndocs, dtype=np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[base : base + total]
+    offs = offs - base
+    wc = _WORD_LUT[data]
+    d8 = np.diff(wc.view(np.int8), prepend=np.int8(0), append=np.int8(0))
+    starts = np.flatnonzero(d8 == 1)
+    ends = np.flatnonzero(d8 == -1)
+    # a word-char run crossing a doc boundary is two tokens, not one
+    inner = np.unique(offs[1:-1])  # empty docs repeat a boundary: split once
+    if len(inner):
+        span = inner[(inner > 0) & (inner < total)]
+        span = span[wc[span - 1] & wc[span]]
+        if len(span):
+            starts = np.sort(np.concatenate((starts, span)))
+            ends = np.sort(np.concatenate((ends, span)))
+    tok_doc = np.searchsorted(offs, starts, side="right") - 1
+    lens = ends - starts
+    keep = lens <= _MAX_TOKEN_LENGTH
+    if not keep.all():
+        starts, lens, tok_doc = starts[keep], lens[keep], tok_doc[keep]
+    ntok = len(starts)
+    if ntok == 0:
+        return empty_i, empty_i, np.zeros(0, dtype=object), np.zeros(ndocs, dtype=np.int64)
+    tok_per_doc = np.bincount(tok_doc, minlength=ndocs).astype(np.int64)
+    nbytes = int(lens.sum())
+    cum = np.concatenate(([0], np.cumsum(lens)))
+    gather = np.repeat(starts - cum[:-1], lens) + np.arange(nbytes, dtype=np.int64)
+    tok_data = _LOWER_LUT[data[gather]]
+    sarr = pa.StringArray.from_buffers(
+        ntok, pa.py_buffer(cum.astype(np.int32)), pa.py_buffer(tok_data)
+    )
+    dc = pc.dictionary_encode(sarr)
+    codes = dc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniques = np.asarray(dc.dictionary.to_pylist(), dtype=object)
+    return codes, tok_doc, uniques, tok_per_doc
+
+
+def _count_batch_arrow(doc_ids: np.ndarray, parts: np.ndarray, arr, positions: bool = False):
+    """Fast-path _count_batch over a pa.StringArray (ASCII, no nulls, simple
+    word break, no stop words/char filters/offsets/payloads). Returns the
+    same tuple as _count_batch."""
+    codes, tok_doc, uniques, tok_per_doc = _ascii_token_stream(arr)
+    dl = tok_per_doc
+    dlq = K.int_to_byte4(dl)
+    total = len(codes)
+    if total == 0:
+        empty = np.zeros(0, dtype=np.int64)
+        return (empty, empty.astype(np.int32), empty.astype(np.uint8),
+                empty, empty.astype(np.int32), np.zeros(0, dtype=object), empty, dl,
+                empty, empty, empty.astype(np.uint8))
+    n_u = len(uniques)
+    key = tok_doc * n_u + codes
+    if positions:
+        doc_starts = np.concatenate(([0], np.cumsum(tok_per_doc)[:-1]))
+        pos_in_doc = np.arange(total, dtype=np.int64) - np.repeat(doc_starts, tok_per_doc)
+        order = np.argsort(key, kind="stable")
+        uk, counts = np.unique(key[order], return_counts=True)
+        pos_flat = pos_in_doc[order]
+    else:
+        uk, counts = np.unique(key, return_counts=True)
+        pos_flat = np.zeros(0, dtype=np.int64)
+    pair_doc_idx = uk // n_u
+    pair_code = (uk % n_u).astype(np.int64)
+    z = np.zeros(0, dtype=np.int64)
+    return (
+        doc_ids[pair_doc_idx],
+        parts[pair_doc_idx].astype(np.int32),
+        dlq[pair_doc_idx].astype(np.uint8),
+        pair_code,
+        counts.astype(np.int32),
+        uniques,
+        pos_flat,
+        dl,
+        z,
+        z,
+        z.astype(np.uint8),
+    )
 
 
 def _count_batch(
@@ -465,21 +628,54 @@ def _dwpt_partition(batches, positions: bool = False, stop_words=None, char_filt
     packed doc deltas, tfs_bin = packed exact dl, dlq_bin = norm bytes):
     one content pass produces postings AND norms, instead of a second
     full-corpus tokenize just to count tokens."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     acc = []
     pos_acc = []
     ostart_acc, olen_acc, pay_acc = [], [], []
     norm_docs, norm_parts, norm_dls = [], [], []
     vocab: dict = {}
     vocab_list: list = []
+    # analyzer options the byte-LUT fast path can express (ASCII checked per
+    # batch below); anything else routes through the regex path unchanged
+    fast_ok = (
+        stop_words is None
+        and not char_filters
+        and word_break in (None, "simple")
+        and not offsets
+        and payload_fn is None
+    )
     for pdf in batches:
-        b_doc_ids = pdf["doc_id"].to_numpy(np.int64)
-        b_parts = pdf["part"].to_numpy(np.int64)
-        (docs_b, segs_b, dlqs_b, codes_b, tfs_b, uniques_b, pos_b, dl_b,
-         ostart_b, olen_b, pay_b) = _count_batch(
-            b_doc_ids, b_parts, pdf["content"], positions,
-            stop_words=stop_words, char_filters=char_filters, word_break=word_break,
-            offsets=offsets, payload_fn=payload_fn,
-        )
+        if isinstance(pdf, pa.RecordBatch):
+            b_doc_ids = pdf.column("doc_id").to_numpy()
+            b_parts = pdf.column("part").to_numpy()
+            carr = pdf.column("content")
+            use_fast = (
+                fast_ok
+                and pa.types.is_string(carr.type)
+                and carr.null_count == 0
+                and len(carr) > 0
+                and bool(pc.all(pc.string_is_ascii(carr)).as_py())
+            )
+        else:
+            b_doc_ids = pdf["doc_id"].to_numpy(np.int64)
+            b_parts = pdf["part"].to_numpy(np.int64)
+            carr = None
+            use_fast = False
+        if use_fast:
+            (docs_b, segs_b, dlqs_b, codes_b, tfs_b, uniques_b, pos_b, dl_b,
+             ostart_b, olen_b, pay_b) = _count_batch_arrow(
+                b_doc_ids, b_parts, carr, positions
+            )
+        else:
+            content = pdf["content"] if carr is None else carr.to_pandas()
+            (docs_b, segs_b, dlqs_b, codes_b, tfs_b, uniques_b, pos_b, dl_b,
+             ostart_b, olen_b, pay_b) = _count_batch(
+                b_doc_ids, b_parts, content, positions,
+                stop_words=stop_words, char_filters=char_filters, word_break=word_break,
+                offsets=offsets, payload_fn=payload_fn,
+            )
         norm_docs.append(b_doc_ids)
         norm_parts.append(b_parts)
         norm_dls.append(dl_b)
@@ -561,6 +757,45 @@ def _dwpt_partition(batches, positions: bool = False, stop_words=None, char_filt
         step = 65536
         for i in range(0, len(out), step):
             yield out.iloc[i : i + step]
+
+
+def _block_pa_schema():
+    """Arrow schema matching _BLOCK_SCHEMA (mapInArrow output contract)."""
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("term", pa.string()),
+            ("seg", pa.int32()),
+            ("block_no", pa.int32()),
+            ("n", pa.int32()),
+            ("first_doc", pa.int64()),
+            ("last_doc", pa.int64()),
+            ("max_tf", pa.int32()),
+            ("min_dlq", pa.int32()),
+            ("sum_tf", pa.int64()),
+            ("docs_bin", pa.binary()),
+            ("tfs_bin", pa.binary()),
+            ("dlq_bin", pa.binary()),
+            ("pos_bin", pa.binary()),
+            ("offs_bin", pa.binary()),
+            ("olen_bin", pa.binary()),
+            ("pay_bin", pa.binary()),
+            ("imp_tf", pa.list_(pa.int32())),
+            ("imp_dlq", pa.list_(pa.int32())),
+        ]
+    )
+
+
+def _dwpt_partition_arrow(batches, **kw):
+    """mapInArrow wrapper for _dwpt_partition: RecordBatches in (content
+    never materialized as Python strings on the fast path), RecordBatches
+    out."""
+    import pyarrow as pa
+
+    schema = _block_pa_schema()
+    for out in _dwpt_partition(batches, **kw):
+        yield pa.RecordBatch.from_pandas(out, schema=schema, preserve_index=False)
 
 
 def norms_jvm(d: DataFrame) -> DataFrame:
@@ -916,6 +1151,9 @@ def _build_group(
         return os.path.join(out_dir, name, f"group={g}")
 
     t = time.time()
+    if _DEBUG:
+        d.count()
+        t = _dbg("corpus shuffle+window (materialize d)", t)
     # doc map: identity + per-row sha256 integrity hash — pure JVM, no UDF
     # (row-store role stays with the source table, SURVEY.md §1.4);
     # staged corpora carry the hash already (content column not touched)
@@ -985,14 +1223,17 @@ def _build_group(
         pfn, _ = resolve_payload_fn(payloads)
 
         def dwpt(batches, _p=positions, _sw=sw, _cf=cf, _pf=(codec == "pfor"), _wb=word_break, _of=offsets, _pl=pfn):
-            return _dwpt_partition(
+            return _dwpt_partition_arrow(
                 batches, positions=_p, stop_words=_sw, char_filters=_cf, pfor=_pf,
                 word_break=_wb, offsets=_of, payload_fn=_pl,
             )
 
         # persist before repartitionByRange: the range sampling pass would
         # otherwise re-run the whole DWPT kernel a second time
-        blocks = routed.mapInPandas(dwpt, schema=_BLOCK_SCHEMA).persist()
+        blocks = routed.mapInArrow(dwpt, schema=_BLOCK_SCHEMA).persist()
+        if _DEBUG:
+            blocks.count()
+            t = _dbg("dwpt kernel (materialize)", t)
         (
             blocks.filter(F.col("term") != NORM_TERM)
             .repartitionByRange(width, "term")
@@ -1000,6 +1241,8 @@ def _build_group(
             .write.mode("overwrite")
             .parquet(gdir("postings"))
         )
+        if _DEBUG:
+            t = _dbg("postings shuffle+write", t)
         # per-group terms partial (map side of the global dictionary agg,
         # computed here so it parallelizes across group builders and the
         # finalize tail only merges vocab-sized partials)
@@ -1014,6 +1257,8 @@ def _build_group(
             .write.mode("overwrite")
             .parquet(gdir("terms_partial"))
         )
+        if _DEBUG:
+            t = _dbg("terms_partial", t)
         norm_blocks = blocks.filter(F.col("term") == NORM_TERM)
         (
             norm_blocks.select("n", "first_doc", "docs_bin", "tfs_bin", "dlq_bin")
@@ -1023,6 +1268,8 @@ def _build_group(
             .write.mode("overwrite")
             .parquet(gdir("norms"))
         )
+        if _DEBUG:
+            t = _dbg("norms write", t)
         # per-segment total term freq straight from block metadata
         seg_ttf = {
             int(r["seg"]): int(r["ttf"])

@@ -26,8 +26,14 @@ def get_spark(
         .config("spark.local.dir", "/dev/shm/lrs_spark_local")
         # JDK17's default G1 caps allocation-heavy stages (tokenize/explode)
         # at ~8-thread throughput in local mode; ParallelGC restores linear
-        # scaling (measured 5x on the tokenize stage at local[32])
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # scaling (measured 5x on the tokenize stage at local[32]).
+        # MaxNewSize bounds young-gen growth: with a large Xmx, ParallelGC
+        # ergonomics let eden balloon to ~Xmx/3 of mostly-garbage pages —
+        # on lazily-backed VMs every fresh page is a high-latency fault, so
+        # a bounded, reused young gen is much cheaper than a huge one-shot
+        # one (OPTIMIZATION_r07.md §2); 2g still gives each of 32 tasks
+        # ~60MB of eden between minor GCs
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC -XX:MaxNewSize=2g")
         .config("spark.driver.memory", driver_memory)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

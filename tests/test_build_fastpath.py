@@ -1,0 +1,113 @@
+"""r7 optimization round: the ASCII Arrow tokenize fast path and the
+batched pack/impacts kernels must be byte-identical to the reference
+implementations they replace (the regex path and the per-block kernels)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from lucene_rust_spark.functions import kernels as K
+from lucene_rust_spark.index.build import (
+    _count_batch,
+    _count_batch_arrow,
+    _dwpt_partition,
+    _dwpt_partition_arrow,
+    block_impacts,
+    block_impacts_batch,
+)
+
+
+def _pairs(out, positions):
+    docs, segs, dlqs, codes, tfs, uniq, pos, dl = out[:8]
+    pairs, off = {}, 0
+    for i in range(len(docs)):
+        pairs[(int(docs[i]), uniq[codes[i]])] = (
+            int(segs[i]),
+            int(dlqs[i]),
+            int(tfs[i]),
+            tuple(pos[off : off + tfs[i]].tolist()) if positions else (),
+        )
+        if positions:
+            off += tfs[i]
+    return pairs, dl.tolist()
+
+
+@pytest.mark.parametrize("positions", [False, True])
+def test_count_batch_arrow_identical(positions):
+    rng = np.random.default_rng(7)
+    alpha = list("ab_ 19.\t\n()Z")
+    for _ in range(25):
+        n = int(rng.integers(1, 40))
+        docs = ["".join(rng.choice(alpha, size=int(rng.integers(0, 60)))) for _ in range(n)]
+        docs[0] = ""  # empty doc
+        if n > 2:
+            docs[1] = "x" * 300 + " ok"  # >255-char token dropped
+        s = pd.Series(docs)
+        d = np.arange(n, dtype=np.int64)
+        p = (d % 5).astype(np.int64)
+        ref = _count_batch(d, p, s, positions)
+        fast = _count_batch_arrow(d, p, pa.array(docs, type=pa.string()), positions)
+        assert _pairs(ref, positions) == _pairs(fast, positions)
+
+
+def test_count_batch_arrow_sliced_buffer():
+    arr = pa.array(["zz qq", "abc", "def ghi"], type=pa.string()).slice(1, 2)
+    f = _count_batch_arrow(
+        np.array([0, 1], dtype=np.int64), np.zeros(2, dtype=np.int64), arr, False
+    )
+    toks = sorted((int(d), f[5][c]) for d, c in zip(f[0], f[3]))
+    assert toks == [(0, "abc"), (1, "def"), (1, "ghi")]
+
+
+def test_dwpt_arrow_nonascii_falls_back_identically():
+    # non-ASCII batches route through the regex path: block output of the
+    # arrow wrapper must equal the pandas kernel's on the same rows
+    docs = ["café naïve merge", "merge window", "λx x", "plain ascii only"]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "part": np.zeros(4, dtype=np.int64),
+            "content": docs,
+        }
+    )
+    rb = pa.RecordBatch.from_pandas(pdf, preserve_index=False)
+    ref = pd.concat(list(_dwpt_partition(iter([pdf]), positions=True)), ignore_index=True)
+    got = pd.concat(
+        [b.to_pandas() for b in _dwpt_partition_arrow(iter([rb]), positions=True)],
+        ignore_index=True,
+    )
+    key = ["term", "seg", "block_no"]
+    ref = ref.sort_values(key).reset_index(drop=True)
+    got = got.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(ref, got)
+
+
+def test_for_pack_batch_identical():
+    rng = np.random.default_rng(3)
+    for _ in range(25):
+        nblk = int(rng.integers(1, 60))
+        ns = rng.integers(1, 129, nblk)
+        bstarts = np.concatenate(([0], np.cumsum(ns)[:-1])).astype(np.int64)
+        bends = np.cumsum(ns).astype(np.int64)
+        n = int(ns.sum())
+        hi = int(rng.choice([1, 2, 300, 2**19, 2**45])) + 1
+        v = rng.integers(0, hi, n).astype(np.uint64)
+        assert K.for_pack_batch(v, bstarts, bends) == [
+            K.for_pack(v[s:e]) for s, e in zip(bstarts, bends)
+        ]
+
+
+def test_block_impacts_batch_identical():
+    rng = np.random.default_rng(4)
+    for _ in range(25):
+        nblk = int(rng.integers(1, 60))
+        ns = rng.integers(1, 129, nblk)
+        bstarts = np.concatenate(([0], np.cumsum(ns)[:-1])).astype(np.int64)
+        bends = np.cumsum(ns).astype(np.int64)
+        n = int(ns.sum())
+        tfs = rng.integers(1, int(rng.choice([2, 9, 3000])), n).astype(np.int64)
+        dlqs = rng.integers(0, 256, n).astype(np.int64)
+        assert block_impacts_batch(tfs, dlqs, bstarts, bends) == [
+            block_impacts(tfs[s:e], dlqs[s:e]) for s, e in zip(bstarts, bends)
+        ]
