@@ -284,6 +284,59 @@ def for_unpack(buf: bytes, count: int) -> np.ndarray:
     return bits @ weights
 
 
+_WEIGHTS_CACHE: dict = {}
+
+
+def _weights(bw: int) -> np.ndarray:
+    w = _WEIGHTS_CACHE.get(bw)
+    if w is None:
+        w = np.uint64(1) << np.arange(bw - 1, -1, -1, dtype=np.uint64)
+        _WEIGHTS_CACHE[bw] = w
+    return w
+
+
+def for_unpack_batch(bufs: list, counts: np.ndarray) -> list:
+    """[for_unpack(bufs[i], counts[i]) for i], vectorized by grouping rows
+    of equal (bit width, count) into one unpackbits + matmul. PFor-marked
+    rows (and bw==0) fall back to the scalar kernel. Identical outputs
+    (tests/test_kernels.py)."""
+    k = len(bufs)
+    out: list = [None] * k
+    if k == 0:
+        return out
+    counts = np.asarray(counts, dtype=np.int64)
+    bws = np.fromiter(
+        ((b[0] if len(b) else 0) for b in bufs), dtype=np.int64, count=k
+    )
+    plain = (bws > 0) & (bws < _PFOR_MARKER16) & (counts > 0)
+    for i in np.flatnonzero(~plain):
+        out[i] = for_unpack(bytes(bufs[i]), int(counts[i]))
+    idx = np.flatnonzero(plain)
+    if len(idx) == 0:
+        return out
+    order = idx[np.lexsort((counts[idx], bws[idx]))]
+    gb, gn = bws[order], counts[order]
+    cut = np.flatnonzero((gb[1:] != gb[:-1]) | (gn[1:] != gn[:-1]))
+    gstarts = np.concatenate(([0], cut + 1))
+    gends = np.concatenate((cut + 1, [len(order)]))
+    for gs, ge in zip(gstarts, gends):
+        bw, n = int(gb[gs]), int(gn[gs])
+        idxs = order[gs:ge]
+        nbp = (n * bw + 7) // 8
+        max_k = max(1, (1 << 22) // max(n * bw, 1))
+        for c0 in range(0, len(idxs), max_k):
+            idxc = idxs[c0 : c0 + max_k]
+            g = len(idxc)
+            mat = np.empty((g, nbp), dtype=np.uint8)
+            for j, i in enumerate(idxc):
+                mat[j] = np.frombuffer(bufs[i], dtype=np.uint8, count=nbp, offset=1)
+            bits = np.unpackbits(mat, axis=1, count=n * bw)
+            vals = (bits.reshape(-1, bw).astype(np.uint64) @ _weights(bw)).reshape(g, n)
+            for j, i in enumerate(idxc):
+                out[i] = vals[j]
+    return out
+
+
 def delta_encode(sorted_vals: np.ndarray) -> np.ndarray:
     """First value kept absolute-relative-to-0? No: caller stores first_doc
     separately; deltas[0] = v[0] - base where base is passed by caller."""

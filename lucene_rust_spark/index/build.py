@@ -1107,14 +1107,14 @@ def _unpack_norm_blocks(batches):
     for pdf in batches:
         if len(pdf) == 0:
             continue
+        ns = pdf["n"].to_numpy(np.int64)
+        docs_dec = K.for_unpack_batch(list(pdf["docs_bin"]), ns)
+        dl_dec = K.for_unpack_batch(list(pdf["tfs_bin"]), ns)
         doc_parts, dl_parts, dlq_parts = [], [], []
-        for n, fd, db, tb, qb in zip(
-            pdf["n"], pdf["first_doc"], pdf["docs_bin"], pdf["tfs_bin"], pdf["dlq_bin"]
-        ):
-            n = int(n)
-            docs = np.int64(fd) + np.cumsum(K.for_unpack(bytes(db), n)).astype(np.int64)
+        for ri, (fd, qb) in enumerate(zip(pdf["first_doc"], pdf["dlq_bin"])):
+            docs = np.int64(fd) + np.cumsum(docs_dec[ri]).astype(np.int64)
             doc_parts.append(docs)
-            dl_parts.append(K.for_unpack(bytes(tb), n).astype(np.int32))
+            dl_parts.append(dl_dec[ri].astype(np.int32))
             dlq_parts.append(np.frombuffer(bytes(qb), dtype=np.uint8).astype(np.int32))
         yield pd.DataFrame(
             {

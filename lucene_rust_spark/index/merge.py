@@ -47,18 +47,29 @@ def _repack_partition(batches, positions: bool = False, pfor: bool = False, offs
     def decode_rows(pdf: pd.DataFrame):
         terms, msegs, docs, tfs, dlqs, pos = [], [], [], [], [], []
         ostarts, olens, pays = [], [], []
-        for row in zip(
+        ns_arr = pdf["n"].to_numpy(np.int64)
+        docs_dec = K.for_unpack_batch(list(pdf["docs_bin"]), ns_arr)
+        tfs_dec = K.for_unpack_batch(list(pdf["tfs_bin"]), ns_arr)
+        if positions:
+            totals = np.fromiter(
+                (int(x.sum()) for x in tfs_dec), dtype=np.int64, count=len(ns_arr)
+            )
+            pos_dec = K.for_unpack_batch(list(pdf["pos_bin"]), totals)
+            if offsets:
+                offs_dec = K.for_unpack_batch(list(pdf["offs_bin"]), totals)
+                olen_dec = K.for_unpack_batch(list(pdf["olen_bin"]), totals)
+        for ri, row in enumerate(zip(
             pdf["term"], pdf["mseg"], pdf["n"], pdf["first_doc"],
             pdf["docs_bin"], pdf["tfs_bin"], pdf["dlq_bin"],
             pdf["pos_bin"] if positions else pdf["term"],
             pdf["offs_bin"] if offsets else pdf["term"],
             pdf["olen_bin"] if offsets else pdf["term"],
             pdf["pay_bin"] if payloads else pdf["term"],
-        ):
+        )):
             term, mseg, n, first_doc, db, tb, qb, pb, ob, lb, yb = row
             n = int(n)
-            d = np.int64(first_doc) + np.cumsum(K.for_unpack(bytes(db), n)).astype(np.int64)
-            t = K.for_unpack(bytes(tb), n).astype(np.int64)
+            d = np.int64(first_doc) + np.cumsum(docs_dec[ri]).astype(np.int64)
+            t = tfs_dec[ri].astype(np.int64)
             q = np.frombuffer(bytes(qb), dtype=np.uint8).astype(np.int64)
             keep = None
             if tomb is not None and len(tomb):
@@ -70,8 +81,8 @@ def _repack_partition(batches, positions: bool = False, pfor: bool = False, offs
                 if hit.any():
                     keep = ~hit
             if positions:
-                total = int(t.sum())
-                pdeltas = K.for_unpack(bytes(pb), total).astype(np.int64)
+                total = int(totals[ri])
+                pdeltas = pos_dec[ri].astype(np.int64)
                 # segmented cumsum → absolute positions (searcher._positions)
                 offs = np.concatenate(([0], np.cumsum(t)[:-1]))
                 cs = np.cumsum(pdeltas)
@@ -81,13 +92,13 @@ def _repack_partition(batches, positions: bool = False, pfor: bool = False, offs
                 p_abs = cs - base
                 o_abs = l_arr = y_arr = None
                 if offsets:
-                    odeltas = K.for_unpack(bytes(ob), total).astype(np.int64)
+                    odeltas = offs_dec[ri].astype(np.int64)
                     ocs = np.cumsum(odeltas)
                     obase = np.zeros(total, dtype=np.int64)
                     obase[offs[1:]] = ocs[offs[1:] - 1]
                     np.maximum.accumulate(obase, out=obase)
                     o_abs = ocs - obase
-                    l_arr = K.for_unpack(bytes(lb), total).astype(np.int64)
+                    l_arr = olen_dec[ri].astype(np.int64)
                 if payloads:
                     y_arr = np.frombuffer(bytes(yb), dtype=np.uint8).astype(np.int64)
                 if keep is not None:

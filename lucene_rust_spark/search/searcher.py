@@ -54,7 +54,19 @@ PRUNE_MIN_POSTINGS_SORTED = 600_000
 # groupBy exchange); a 1M-posting decode is ~50 ms of numpy, far below the
 # ~100-150 ms cost of the extra exchange+stage it replaces
 FUSED_MAX_POSTINGS = 1_000_000
-DRIVER_EXEC_MAX_POSTINGS = 100_000  # small-query driver path (see search_df)
+# small-query driver path (see search_df): execute on the driver when the
+# query's total posting volume fits this cap. The bound is a driver-memory
+# guard, not a latency crossover: 1M postings is ~8k packed block rows
+# (a few MB collected), and the driver decode+combine (~20-50 ms with the
+# batched unpack) beats the fixed multi-task job overhead (~200 ms on this
+# host) by a wide margin all the way to the cap — measured r7: a 110k-
+# posting bool query 226 -> 86 ms, rank-identical (OPTIMIZATION_r07.md §4)
+DRIVER_EXEC_MAX_POSTINGS = 1_000_000
+# decoded per-term postings LRU for the driver path (the LRUQueryCache /
+# OS-page-cache analog: Lucene re-reads hot postings from cache too; the
+# score/combine/rank pipeline still runs per query). Bounded by postings
+# held; invalidated with the searcher view (refresh() rebuilds the reader)
+DRIVER_POSTINGS_CACHE_MAX = 4_000_000
 
 
 def _ngram_keep(n_terms: int, n: int) -> list[int]:
@@ -319,7 +331,11 @@ class IndexSearcher:
             self.postings.unpersist()
         except Exception:
             pass
-        self.__dict__.pop("_tomb_ids", None)  # stale driver tombstone cache
+        # stale driver-side caches: tombstones, pre-selected block frames,
+        # and the decoded-postings LRU all reference the OLD generation
+        for attr in ("_tomb_ids", "_blocks_sel", "_blocks_pos_sel",
+                     "_postings_lru", "_postings_lru_held"):
+            self.__dict__.pop(attr, None)
         self.__init__(  # re-run the reader bootstrap on the new generation
             self.spark,
             self.index_dir,
@@ -458,27 +474,29 @@ class IndexSearcher:
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                doc_parts, tf_parts, dlq_parts, idf_parts, term_rep = [], [], [], [], []
-                for term, n, first_doc, docs_bin, tfs_bin, dlq_bin in zip(
-                    pdf["term"], pdf["n"], pdf["first_doc"], pdf["docs_bin"], pdf["tfs_bin"], pdf["dlq_bin"]
-                ):
-                    n = int(n)
-                    deltas = K.for_unpack(bytes(docs_bin), n)
-                    docs = np.int64(first_doc) + np.cumsum(deltas).astype(np.int64)
-                    doc_parts.append(docs)
-                    tf_parts.append(K.for_unpack(bytes(tfs_bin), n))
-                    dlq_parts.append(np.frombuffer(bytes(dlq_bin), dtype=np.uint8))
-                    idf_parts.append(np.full(n, idf_map[term], dtype=np.float32))
-                    term_rep.append(np.repeat(term, n))
-                docs = np.concatenate(doc_parts)
-                tfs = np.concatenate(tf_parts)
-                dlqs = np.concatenate(dlq_parts)
-                idfs = np.concatenate(idf_parts)
+                ns = pdf["n"].to_numpy(np.int64)
+                docs_dec = K.for_unpack_batch(list(pdf["docs_bin"]), ns)
+                tfs_dec = K.for_unpack_batch(list(pdf["tfs_bin"]), ns)
+                first = pdf["first_doc"].to_numpy(np.int64)
+                docs = np.concatenate(
+                    [
+                        np.int64(f) + np.cumsum(d).astype(np.int64)
+                        for f, d in zip(first, docs_dec)
+                    ]
+                )
+                tfs = np.concatenate(tfs_dec)
+                dlqs = np.concatenate(
+                    [np.frombuffer(bytes(b), dtype=np.uint8) for b in pdf["dlq_bin"]]
+                )
+                terms_arr = pdf["term"].to_numpy()
+                idfs = np.repeat(
+                    np.array([idf_map[t] for t in terms_arr], dtype=np.float32), ns
+                )
                 scores = sim.score(tfs, dlqs, idfs)
                 yield pd.DataFrame(
                     {
                         "doc_id": docs,
-                        "term": np.concatenate(term_rep),
+                        "term": np.repeat(terms_arr, ns),
                         "score": scores,
                         "tf": tfs.astype(np.int32),
                         "dlq": dlqs.astype(np.int32),
@@ -1360,18 +1378,17 @@ class IndexSearcher:
 
             chunks = defaultdict(list)
             for pdf in batches:
-                for term, n, fd, db, tb, qb in zip(
-                    pdf["term"], pdf["n"], pdf["first_doc"],
-                    pdf["docs_bin"], pdf["tfs_bin"], pdf["dlq_bin"],
-                ):
-                    n = int(n)
-                    docs = np.int64(fd) + np.cumsum(
-                        K.for_unpack(bytes(db), n)
-                    ).astype(np.int64)
+                ns = pdf["n"].to_numpy(np.int64)
+                docs_dec = K.for_unpack_batch(list(pdf["docs_bin"]), ns)
+                tfs_dec = K.for_unpack_batch(list(pdf["tfs_bin"]), ns)
+                for ri, (term, fd, qb) in enumerate(zip(
+                    pdf["term"], pdf["first_doc"], pdf["dlq_bin"]
+                )):
+                    docs = np.int64(fd) + np.cumsum(docs_dec[ri]).astype(np.int64)
                     chunks[term].append(
                         (
                             docs,
-                            K.for_unpack(bytes(tb), n).astype(np.int64),
+                            tfs_dec[ri].astype(np.int64),
                             np.frombuffer(bytes(qb), dtype=np.uint8).astype(np.int64),
                         )
                     )
@@ -1442,7 +1459,46 @@ class IndexSearcher:
         """term -> (docs, tfs, dlqs) numpy arrays via one blocks collect
         (the driver path's read primitive); None when nothing matched.
         doc_id narrows to the blocks whose [first_doc, last_doc] zone map
-        contains it (the skip-list seek — one block per term at any df)."""
+        contains it (the skip-list seek — one block per term at any df).
+
+        Full-term reads go through a bounded decoded-postings LRU (the
+        LRUQueryCache / OS-page-cache analog: repeated hot terms skip the
+        collect + unpack; scoring/combining/ranking still run per query).
+        The cache lives on the searcher instance, so a refresh() — which
+        re-runs the reader bootstrap — naturally drops it with the view."""
+        if doc_id is None:
+            cache = getattr(self, "_postings_lru", None)
+            if cache is None:
+                from collections import OrderedDict
+
+                cache = self._postings_lru = OrderedDict()
+                self._postings_lru_held = 0
+            missing = [t for t in terms if t not in cache]
+            if missing:
+                fetched = self._collect_postings_uncached(missing, None)
+                for t in missing:
+                    arrs = (fetched or {}).get(t)
+                    cache[t] = arrs
+                    if arrs is not None:
+                        self._postings_lru_held += len(arrs[0])
+            out = {}
+            for t in terms:  # touch before evicting so this query's terms stay
+                arrs = cache[t]
+                cache.move_to_end(t)
+                if arrs is not None:
+                    out[t] = arrs
+            while self._postings_lru_held > DRIVER_POSTINGS_CACHE_MAX and len(
+                cache
+            ) > len(terms):
+                _t, arrs = cache.popitem(last=False)
+                if arrs is not None:
+                    self._postings_lru_held -= len(arrs[0])
+            return out or None
+        return self._collect_postings_uncached(terms, doc_id)
+
+    def _collect_postings_uncached(
+        self, terms: list[str], doc_id: int | None
+    ) -> dict | None:
         from collections import defaultdict
 
         # hot path: ONE pre-selected DataFrame + ONE expr-string filter.
@@ -1468,17 +1524,17 @@ class IndexSearcher:
                 f"first_doc <= {int(doc_id)} AND last_doc >= {int(doc_id)}"
             )
         rows = src.collect()
+        if not rows:
+            return None
+        ns = np.fromiter((r["n"] for r in rows), dtype=np.int64, count=len(rows))
+        docs_dec = K.for_unpack_batch([r["docs_bin"] for r in rows], ns)
+        tfs_dec = K.for_unpack_batch([r["tfs_bin"] for r in rows], ns)
         chunks = defaultdict(list)
-        for r in rows:
-            n = int(r["n"])
-            docs = np.int64(r["first_doc"]) + np.cumsum(
-                K.for_unpack(bytes(r["docs_bin"]), n)
-            ).astype(np.int64)
-            tfs = K.for_unpack(bytes(r["tfs_bin"]), n).astype(np.int64)
+        for r, ddec, tdec in zip(rows, docs_dec, tfs_dec):
+            docs = np.int64(r["first_doc"]) + np.cumsum(ddec).astype(np.int64)
+            tfs = tdec.astype(np.int64)
             dlqs = np.frombuffer(bytes(r["dlq_bin"]), dtype=np.uint8).astype(np.int64)
             chunks[r["term"]].append((docs, tfs, dlqs))
-        if not chunks:
-            return None
         return {
             t: tuple(np.concatenate(x) for x in zip(*lst)) for t, lst in chunks.items()
         }
@@ -1615,15 +1671,19 @@ class IndexSearcher:
         # term -> {doc: positions array}; doc -> dlq
         term_pos: dict[str, dict] = {t: {} for t in uniq}
         doc_dlq: dict[int, int] = {}
-        for r in rows:
-            n = int(r["n"])
-            docs = np.int64(r["first_doc"]) + np.cumsum(
-                K.for_unpack(bytes(r["docs_bin"]), n)
-            ).astype(np.int64)
-            tfs = K.for_unpack(bytes(r["tfs_bin"]), n).astype(np.int64)
+        ns_arr = np.fromiter((r["n"] for r in rows), dtype=np.int64, count=len(rows))
+        docs_dec = K.for_unpack_batch([r["docs_bin"] for r in rows], ns_arr)
+        tfs_dec = K.for_unpack_batch([r["tfs_bin"] for r in rows], ns_arr)
+        totals = np.fromiter(
+            (int(t.sum()) for t in tfs_dec), dtype=np.int64, count=len(rows)
+        )
+        pos_dec = K.for_unpack_batch([r["pos_bin"] for r in rows], totals)
+        for ri, r in enumerate(rows):
+            docs = np.int64(r["first_doc"]) + np.cumsum(docs_dec[ri]).astype(np.int64)
+            tfs = tfs_dec[ri].astype(np.int64)
             dlqs = np.frombuffer(bytes(r["dlq_bin"]), dtype=np.uint8)
-            total = int(tfs.sum())
-            pdeltas = K.for_unpack(bytes(r["pos_bin"]), total).astype(np.int64)
+            total = int(totals[ri])
+            pdeltas = pos_dec[ri].astype(np.int64)
             offs = np.concatenate(([0], np.cumsum(tfs)[:-1]))
             cs = np.cumsum(pdeltas)
             base = np.zeros(total, dtype=np.int64)

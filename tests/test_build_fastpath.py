@@ -98,6 +98,23 @@ def test_for_pack_batch_identical():
         ]
 
 
+def test_for_unpack_batch_identical():
+    rng = np.random.default_rng(5)
+    for codec in ("for", "pfor"):
+        pack = K.for_pack if codec == "for" else K.pfor_pack
+        bufs, counts, refs = [], [], []
+        for _ in range(120):
+            n = int(rng.integers(0, 200))
+            hi = int(rng.choice([1, 2, 300, 2**19, 2**45])) + 1
+            v = rng.integers(0, hi, n).astype(np.uint64)
+            bufs.append(pack(v))
+            counts.append(n)
+            refs.append(K.for_unpack(bufs[-1], n))
+        got = K.for_unpack_batch(bufs, np.array(counts))
+        for r, g in zip(refs, got):
+            assert np.array_equal(r, g)
+
+
 def test_block_impacts_batch_identical():
     rng = np.random.default_rng(4)
     for _ in range(25):
