@@ -45,6 +45,9 @@ from lucene_rust_spark.index.manifest import commit_manifest, read_manifest
 PARTITION_SHIFT = 40
 NORM_TERM = ""  # sentinel term for norm blocks riding the DWPT output
                 # (real terms are never empty: the tokenizer drops them)
+DOCMAP_TERM = "\x01docmap"  # sentinel rows carrying the doc map as an Arrow
+                            # IPC blob in docs_bin (tokens are \w+ runs, so
+                            # a control char can never collide with a term)
 
 # --- docID assignment -------------------------------------------------------
 
@@ -615,7 +618,41 @@ def _count_batch(
     )
 
 
-def _dwpt_partition(batches, positions: bool = False, stop_words=None, char_filters=None, pfor=False, word_break="simple", offsets: bool = False, payload_fn=None):
+def _utf16_len_arrow(arr) -> np.ndarray:
+    """Per-string UTF-16 code-unit counts of a pa.StringArray — exactly
+    Spark's length(string) (JVM chars): codepoints + one extra per
+    supplementary char, computed from the UTF-8 buffer."""
+    ndocs = len(arr)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+    offs = offs[arr.offset : arr.offset + ndocs + 1].astype(np.int64)
+    base = int(offs[0])
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[base : int(offs[-1])]
+    offs = offs - base
+    # per byte: 1 for any lead byte, +1 more for a 4-byte lead (surrogate
+    # pair), 0 for continuation bytes
+    unit = np.ones(len(data), dtype=np.int64)
+    unit[(data & 0xC0) == 0x80] = 0
+    unit[data >= 0xF0] = 2
+    c = np.concatenate(([0], np.cumsum(unit)))
+    return c[offs[1:]] - c[offs[:-1]]
+
+
+def _sha256_arrow(arr) -> np.ndarray:
+    """Per-string sha256 hexdigests of a pa.StringArray (== Spark's
+    sha2(col, 256) over the UTF-8 bytes)."""
+    import hashlib
+
+    ndocs = len(arr)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+    offs = offs[arr.offset : arr.offset + ndocs + 1].astype(np.int64)
+    mv = memoryview(arr.buffers()[2])
+    out = np.empty(ndocs, dtype=object)
+    for i in range(ndocs):
+        out[i] = hashlib.sha256(mv[offs[i] : offs[i + 1]]).hexdigest()
+    return out
+
+
+def _dwpt_partition(batches, positions: bool = False, stop_words=None, char_filters=None, pfor=False, word_break="simple", offsets: bool = False, payload_fn=None, assign=None):
     """mapInPandas kernel — the DocumentsWriterPerThread analog
     (clt/index/mod.rs:33): this task holds complete segments (docs are
     hash-routed by part), accumulates per-doc term counts across Arrow
@@ -627,7 +664,19 @@ def _dwpt_partition(batches, positions: bool = False, stop_words=None, char_filt
     Norms ride the same output as NORM_TERM sentinel blocks (docs_bin =
     packed doc deltas, tfs_bin = packed exact dl, dlq_bin = norm bytes):
     one content pass produces postings AND norms, instead of a second
-    full-corpus tokenize just to count tokens."""
+    full-corpus tokenize just to count tokens.
+
+    assign={'sort_key': ...} (r7): docIDs are assigned HERE instead of by
+    a JVM window over full content rows — the task holds complete
+    segments, so the per-part rank is local. Rows arrive with metadata
+    columns but no doc_id; pairs are counted against task-local row ids
+    and remapped once the task's ordering (the oracle's canonical
+    (part[, content_len], repo, path, commit) — Python string order ==
+    Spark's UTF8_BINARY, content_len computed as UTF-16 units) is known.
+    The doc map (doc_id, repo, path, commit, lang, content_sha256) leaves
+    the task as one DOCMAP_TERM sentinel row holding an Arrow IPC blob,
+    so ONE content pass and ONE (unsorted) content shuffle produce
+    postings + norms + docmap."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -637,6 +686,10 @@ def _dwpt_partition(batches, positions: bool = False, stop_words=None, char_filt
     norm_docs, norm_parts, norm_dls = [], [], []
     vocab: dict = {}
     vocab_list: list = []
+    row_base = 0
+    meta_repo, meta_path, meta_commit, meta_lang = [], [], [], []
+    meta_sha, meta_clen = [], []
+    sort_key = (assign or {}).get("sort_key")
     # analyzer options the byte-LUT fast path can express (ASCII checked per
     # batch below); anything else routes through the regex path unchanged
     fast_ok = (
@@ -648,9 +701,25 @@ def _dwpt_partition(batches, positions: bool = False, stop_words=None, char_filt
     )
     for pdf in batches:
         if isinstance(pdf, pa.RecordBatch):
-            b_doc_ids = pdf.column("doc_id").to_numpy()
-            b_parts = pdf.column("part").to_numpy()
+            nrows = pdf.num_rows
+            if assign is not None:
+                b_doc_ids = np.arange(row_base, row_base + nrows, dtype=np.int64)
+                row_base += nrows
+            else:
+                b_doc_ids = pdf.column("doc_id").to_numpy()
+            b_parts = pdf.column("part").to_numpy().astype(np.int64)
             carr = pdf.column("content")
+            if assign is not None:
+                meta_repo.append(pdf.column("repo").to_numpy(zero_copy_only=False))
+                meta_path.append(pdf.column("path").to_numpy(zero_copy_only=False))
+                meta_commit.append(pdf.column("commit").to_numpy(zero_copy_only=False))
+                meta_lang.append(pdf.column("lang").to_numpy(zero_copy_only=False))
+                if "content_sha256" in pdf.schema.names:
+                    meta_sha.append(pdf.column("content_sha256").to_numpy(zero_copy_only=False))
+                else:
+                    meta_sha.append(_sha256_arrow(carr))
+                if sort_key == "content_len":
+                    meta_clen.append(_utf16_len_arrow(carr))
             use_fast = (
                 fast_ok
                 and pa.types.is_string(carr.type)
@@ -659,7 +728,37 @@ def _dwpt_partition(batches, positions: bool = False, stop_words=None, char_filt
                 and bool(pc.all(pc.string_is_ascii(carr)).as_py())
             )
         else:
-            b_doc_ids = pdf["doc_id"].to_numpy(np.int64)
+            if assign is not None:
+                nrows = len(pdf)
+                b_doc_ids = np.arange(row_base, row_base + nrows, dtype=np.int64)
+                row_base += nrows
+                meta_repo.append(pdf["repo"].to_numpy())
+                meta_path.append(pdf["path"].to_numpy())
+                meta_commit.append(pdf["commit"].to_numpy())
+                meta_lang.append(pdf["lang"].to_numpy())
+                if "content_sha256" in pdf.columns:
+                    meta_sha.append(pdf["content_sha256"].to_numpy())
+                else:
+                    import hashlib
+
+                    meta_sha.append(
+                        np.asarray(
+                            [
+                                hashlib.sha256(str(x).encode()).hexdigest()
+                                for x in pdf["content"]
+                            ],
+                            dtype=object,
+                        )
+                    )
+                if sort_key == "content_len":
+                    meta_clen.append(
+                        np.asarray(
+                            [len(str(x).encode("utf-16-le")) // 2 for x in pdf["content"]],
+                            dtype=np.int64,
+                        )
+                    )
+            else:
+                b_doc_ids = pdf["doc_id"].to_numpy(np.int64)
             b_parts = pdf["part"].to_numpy(np.int64)
             carr = None
             use_fast = False
@@ -693,6 +792,66 @@ def _dwpt_partition(batches, positions: bool = False, stop_words=None, char_filt
                 vocab_list.append(term)
             remap[j] = c
         acc.append((docs_b, segs_b, dlqs_b, remap[codes_b] if len(codes_b) else codes_b, tfs_b))
+
+    if assign is not None and row_base:
+        # the task holds complete segments: assign docIDs with the oracle's
+        # canonical ordering, then remap the task-local row ids everywhere
+        part_all = np.concatenate(norm_parts).astype(np.int64)
+        repo_all = np.concatenate(meta_repo)
+        path_all = np.concatenate(meta_path)
+        commit_all = np.concatenate(meta_commit)
+        lang_all = np.concatenate(meta_lang)
+        sha_all = np.concatenate(meta_sha)
+        keys = [commit_all, path_all, repo_all]
+        if sort_key == "content_len":
+            keys.append(np.concatenate(meta_clen))
+        elif sort_key is not None:
+            raise ValueError(f"unknown sort_key {sort_key!r} (supported: 'content_len')")
+        keys.append(part_all)
+        order_a = np.lexsort(tuple(keys))
+        sp = part_all[order_a]
+        seg_starts = np.concatenate(([0], np.flatnonzero(np.diff(sp)) + 1))
+        seg_lens = np.diff(np.concatenate((seg_starts, [len(sp)])))
+        rank = np.arange(len(sp), dtype=np.int64) - np.repeat(seg_starts, seg_lens)
+        doc_map = np.empty(row_base, dtype=np.int64)
+        doc_map[order_a] = (sp << PARTITION_SHIFT) | rank
+        acc = [(doc_map[a0], a1, a2, a3, a4) for (a0, a1, a2, a3, a4) in acc]
+        norm_docs = [doc_map[x] for x in norm_docs]
+        dm = pa.record_batch(
+            {
+                "doc_id": pa.array(doc_map, type=pa.int64()),
+                "repo": pa.array(repo_all, type=pa.string()),
+                "path": pa.array(path_all, type=pa.string()),
+                "commit": pa.array(commit_all, type=pa.string()),
+                "lang": pa.array(lang_all, type=pa.string()),
+                "content_sha256": pa.array(sha_all, type=pa.string()),
+            }
+        )
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, dm.schema) as w:
+            w.write_batch(dm)
+        yield pd.DataFrame(
+            {
+                "term": [DOCMAP_TERM],
+                "seg": np.zeros(1, dtype=np.int32),
+                "block_no": np.zeros(1, dtype=np.int32),
+                "n": np.array([row_base], dtype=np.int32),
+                "first_doc": np.zeros(1, dtype=np.int64),
+                "last_doc": np.zeros(1, dtype=np.int64),
+                "max_tf": np.zeros(1, dtype=np.int32),
+                "min_dlq": np.zeros(1, dtype=np.int32),
+                "sum_tf": np.zeros(1, dtype=np.int64),
+                "docs_bin": [sink.getvalue().to_pybytes()],
+                "tfs_bin": [b""],
+                "dlq_bin": [b""],
+                "pos_bin": [b""],
+                "offs_bin": [b""],
+                "olen_bin": [b""],
+                "pay_bin": [b""],
+                "imp_tf": [[]],
+                "imp_dlq": [[]],
+            }
+        )
 
     # norm sentinel blocks — every doc, including token-less ones
     nd = np.concatenate(norm_docs) if norm_docs else np.zeros(0, dtype=np.int64)
@@ -1102,6 +1261,18 @@ def build_group_job(
     return gs
 
 
+def _unpack_docmap_blocks(batches):
+    """DOCMAP_TERM sentinel rows → docmap RecordBatches (inverse of the
+    DWPT kernel's Arrow IPC serialization)."""
+    import pyarrow as pa
+
+    for rb in batches:
+        col = rb.column("docs_bin")
+        for i in range(len(col)):
+            with pa.ipc.open_stream(col[i].as_py()) as reader:
+                yield from reader
+
+
 def _unpack_norm_blocks(batches):
     """Sentinel norm blocks → (doc_id, dl, dlq) rows."""
     for pdf in batches:
@@ -1139,8 +1310,15 @@ def _build_group(
     ONCE (the DWPT kernel emits postings and sentinel norm blocks in the
     same pass); docmap reuses the staged per-row sha256 when present.
     postings_dirname routes the postings write into the index's CURRENT
-    postings generation (streaming appends after a merge compaction)."""
-    d = assign_doc_ids(docs_with_part, sort_key=sort_key).persist()
+    postings generation (streaming appends after a merge compaction).
+
+    r7: the dwpt path no longer materializes a docID-windowed copy of the
+    corpus. The corpus is hash-shuffled by part ONCE (no sort) straight
+    into the DWPT kernel, which assigns docIDs locally (it holds complete
+    segments) and emits postings + norms + the doc map in one pass — the
+    JVM window over full content rows and the corpus-sized persist are
+    gone (guide §2.4/§8: decide with small rows, move heavy bytes once)."""
+    spark = docs_with_part.sparkSession
 
     def gdir(name: str) -> str:
         # route writes into the index's CURRENT store generations (merge
@@ -1151,32 +1329,32 @@ def _build_group(
         return os.path.join(out_dir, name, f"group={g}")
 
     t = time.time()
-    if _DEBUG:
-        d.count()
-        t = _dbg("corpus shuffle+window (materialize d)", t)
-    # doc map: identity + per-row sha256 integrity hash — pure JVM, no UDF
-    # (row-store role stays with the source table, SURVEY.md §1.4);
-    # staged corpora carry the hash already (content column not touched)
-    sha = (
-        F.col("content_sha256")
-        if "content_sha256" in d.columns
-        else F.sha2(F.col("content"), 256)
-    )
-    docmap = d.select(
-        "doc_id", "part", "repo", "path", "commit", "lang",
-        sha.alias("content_sha256"),
-    ).persist()
-    docmap.drop("part").repartitionByRange(max(1, width // 4), "doc_id").sortWithinPartitions(
-        "doc_id"
-    ).write.mode("overwrite").parquet(gdir("docmap"))
-    t = _dbg("docmap", t)
-
     # postings: DWPT-per-task local build → packed blocks → ONE shuffle of
     # block rows into global term-range order (the hierarchical merge:
     # Spark's range shuffle IS the k-way term merge, SURVEY.md §2.3)
     if analyzer == "jvm":
         if stop_words or char_filters:
             raise ValueError("stop_words/char_filters require analyzer='dwpt'")
+        d = assign_doc_ids(docs_with_part, sort_key=sort_key).persist()
+        if _DEBUG:
+            d.count()
+            t = _dbg("corpus shuffle+window (materialize d)", t)
+        # doc map: identity + per-row sha256 integrity hash — pure JVM
+        # (row-store role stays with the source table, SURVEY.md §1.4);
+        # staged corpora carry the hash already
+        sha = (
+            F.col("content_sha256")
+            if "content_sha256" in d.columns
+            else F.sha2(F.col("content"), 256)
+        )
+        docmap = d.select(
+            "doc_id", "part", "repo", "path", "commit", "lang",
+            sha.alias("content_sha256"),
+        ).persist()
+        docmap.drop("part").repartitionByRange(max(1, width // 4), "doc_id").sortWithinPartitions(
+            "doc_id"
+        ).write.mode("overwrite").parquet(gdir("docmap"))
+        t = _dbg("docmap", t)
         norms = norms_jvm(d).persist()
         norms.repartitionByRange(max(1, width // 4), "doc_id").sortWithinPartitions(
             "doc_id"
@@ -1189,7 +1367,6 @@ def _build_group(
             .mapInPandas(_pack_partition, schema=_BLOCK_SCHEMA)
         )
         blocks_local.write.mode("overwrite").parquet(gdir("postings"))
-        spark = docs_with_part.sparkSession
         (
             spark.read.parquet(gdir("postings"))
             .groupBy("term")
@@ -1210,10 +1387,13 @@ def _build_group(
         }
         norms.unpersist()
     else:
-        # d is already hash-partitioned by part (the docID window shuffle),
-        # and persisted — each cached partition holds complete segments, so
-        # no second content shuffle is needed
-        routed = d.select("doc_id", "part", "content")
+        # ONE content shuffle (hash by part, no sort): each task holds
+        # complete segments; the kernel assigns docIDs and emits postings,
+        # norms AND the doc map in a single pass over the content
+        cols = ["part", "repo", "path", "commit", "lang", "content"]
+        if "content_sha256" in docs_with_part.columns:
+            cols.append("content_sha256")
+        routed = docs_with_part.select(*cols).repartition(width, "part")
 
         sw = frozenset(stop_words) if stop_words else None
         cf = tuple(tuple(c) for c in char_filters) if char_filters else None
@@ -1222,10 +1402,11 @@ def _build_group(
 
         pfn, _ = resolve_payload_fn(payloads)
 
-        def dwpt(batches, _p=positions, _sw=sw, _cf=cf, _pf=(codec == "pfor"), _wb=word_break, _of=offsets, _pl=pfn):
+        def dwpt(batches, _p=positions, _sw=sw, _cf=cf, _pf=(codec == "pfor"), _wb=word_break, _of=offsets, _pl=pfn, _sk=sort_key):
             return _dwpt_partition_arrow(
                 batches, positions=_p, stop_words=_sw, char_filters=_cf, pfor=_pf,
                 word_break=_wb, offsets=_of, payload_fn=_pl,
+                assign={"sort_key": _sk},
             )
 
         # persist before repartitionByRange: the range sampling pass would
@@ -1234,8 +1415,9 @@ def _build_group(
         if _DEBUG:
             blocks.count()
             t = _dbg("dwpt kernel (materialize)", t)
+        sentinel = F.col("term").isin([NORM_TERM, DOCMAP_TERM])
         (
-            blocks.filter(F.col("term") != NORM_TERM)
+            blocks.filter(~sentinel)
             .repartitionByRange(width, "term")
             .sortWithinPartitions("term", "seg", "block_no")
             .write.mode("overwrite")
@@ -1243,11 +1425,28 @@ def _build_group(
         )
         if _DEBUG:
             t = _dbg("postings shuffle+write", t)
+        # doc map: deserialize the kernel's IPC sentinel rows and lay out
+        # by docID range (metadata-only shuffle)
+        (
+            blocks.filter(F.col("term") == DOCMAP_TERM)
+            .select("docs_bin")
+            .mapInArrow(
+                _unpack_docmap_blocks,
+                schema="doc_id long, repo string, path string, commit string,"
+                " lang string, content_sha256 string",
+            )
+            .repartitionByRange(max(1, width // 4), "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(gdir("docmap"))
+        )
+        if _DEBUG:
+            t = _dbg("docmap write", t)
         # per-group terms partial (map side of the global dictionary agg,
         # computed here so it parallelizes across group builders and the
         # finalize tail only merges vocab-sized partials)
         (
-            blocks.filter(F.col("term") != NORM_TERM)
+            blocks.filter(~sentinel)
             .groupBy("term")
             .agg(
                 F.sum("n").cast("long").alias("doc_freq"),
@@ -1278,8 +1477,15 @@ def _build_group(
         blocks.unpersist()
     t = _dbg("postings+norms", t)
 
+    if analyzer == "jvm":
+        seg_src = docmap
+    else:
+        # the written docmap is KB-per-group metadata; part = docID high bits
+        seg_src = spark.read.parquet(gdir("docmap")).withColumn(
+            "part", F.shiftright("doc_id", PARTITION_SHIFT)
+        )
     seg_rows = (
-        docmap.groupBy("part")
+        seg_src.groupBy("part")
         .agg(
             F.count("*").alias("max_doc"),
             F.min("doc_id").alias("doc_base"),
@@ -1290,8 +1496,9 @@ def _build_group(
         .collect()
     )
     t = _dbg("seg_stats", t)
-    docmap.unpersist()
-    d.unpersist()
+    if analyzer == "jvm":
+        docmap.unpersist()
+        d.unpersist()
     segments = [
         {
             "seg": int(r["part"]),

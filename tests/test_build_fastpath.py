@@ -83,6 +83,41 @@ def test_dwpt_arrow_nonascii_falls_back_identically():
     pd.testing.assert_frame_equal(ref, got)
 
 
+def test_kernel_doc_id_assignment_content_len_utf16(spark, tmp_path):
+    """The in-kernel docID assignment (r7: the JVM window moved into the
+    DWPT task) must rank by (part, UTF-16 length, repo, path, commit) —
+    including astral chars counting as TWO units, Spark's length()."""
+    import pandas as pd
+
+    from lucene_rust_spark.index.build import PARTITION_SHIFT, build_index
+    from lucene_rust_spark.oracle.bm25 import partition_of
+
+    rows = []
+    for i in range(40):
+        content = ("x " * (i % 7)) + ("\U0001f389" if i % 3 == 0 else "yy")
+        rows.append(
+            {"repo": f"r{i%4}", "path": f"p/{i}", "commit": f"c{i:02d}",
+             "lang": "en", "content": content}
+        )
+    pdf = pd.DataFrame(rows)
+    idx = str(tmp_path / "idx_clen")
+    build_index(spark, spark.createDataFrame(pdf), idx, num_partitions=4,
+                sort_key="content_len")
+    got = {
+        (r["repo"], r["path"], r["commit"]): int(r["doc_id"])
+        for r in spark.read.parquet(f"{idx}/docmap").collect()
+    }
+    pdf["part"] = [partition_of(r, p, c, 4) for r, p, c in zip(pdf["repo"], pdf["path"], pdf["commit"])]
+    pdf["clen"] = [len(x.encode("utf-16-le")) // 2 for x in pdf["content"]]
+    pdf = pdf.sort_values(["part", "clen", "repo", "path", "commit"], kind="mergesort")
+    rank = pdf.groupby("part").cumcount()
+    expected = {
+        (r, p, c): (int(pt) << PARTITION_SHIFT) | int(rk)
+        for r, p, c, pt, rk in zip(pdf["repo"], pdf["path"], pdf["commit"], pdf["part"], rank)
+    }
+    assert got == expected
+
+
 def test_for_pack_batch_identical():
     rng = np.random.default_rng(3)
     for _ in range(25):
