@@ -290,6 +290,10 @@ def merge_segments(
         passthrough_msegs = [
             g for g in passthrough_msegs if not (live_by_mseg.get(g, set()) & tomb_segs)
         ]
+    # repartitionByRange's sampling pass would otherwise scan the postings
+    # parquet a second time; one cached pass feeds both the sampler and
+    # the shuffle (released right after the write)
+    keyed = keyed.persist()
     to_repack = keyed
     passthrough = None
     if passthrough_msegs:
@@ -315,6 +319,7 @@ def merge_segments(
     # group=<epoch> dirs and partition discovery stays consistent
     out_postings = os.path.join(index_dir, f"postings_g{gen}", "group=0")
     merged.write.mode("overwrite").parquet(out_postings)
+    keyed.unpersist()
 
     manifest = dict(m)
     live_stats = None

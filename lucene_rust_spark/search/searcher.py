@@ -522,16 +522,21 @@ class IndexSearcher:
                 if len(pdf) == 0:
                     continue
                 terms_o, docs_o, pos_o, dlq_o = [], [], [], []
-                for term, n, first_doc, db, tb, qb, pb in zip(
-                    pdf["term"], pdf["n"], pdf["first_doc"], pdf["docs_bin"],
-                    pdf["tfs_bin"], pdf["dlq_bin"], pdf["pos_bin"],
-                ):
-                    n = int(n)
-                    docs = np.int64(first_doc) + np.cumsum(K.for_unpack(bytes(db), n)).astype(np.int64)
-                    tfs = K.for_unpack(bytes(tb), n).astype(np.int64)
+                ns_arr = pdf["n"].to_numpy(np.int64)
+                docs_dec = K.for_unpack_batch(list(pdf["docs_bin"]), ns_arr)
+                tfs_dec = K.for_unpack_batch(list(pdf["tfs_bin"]), ns_arr)
+                totals = np.fromiter(
+                    (int(x.sum()) for x in tfs_dec), dtype=np.int64, count=len(ns_arr)
+                )
+                pos_dec = K.for_unpack_batch(list(pdf["pos_bin"]), totals)
+                for ri, (term, first_doc, qb) in enumerate(zip(
+                    pdf["term"], pdf["first_doc"], pdf["dlq_bin"]
+                )):
+                    docs = np.int64(first_doc) + np.cumsum(docs_dec[ri]).astype(np.int64)
+                    tfs = tfs_dec[ri].astype(np.int64)
                     dlqs = np.frombuffer(bytes(qb), dtype=np.uint8)
-                    total = int(tfs.sum())
-                    pdeltas = K.for_unpack(bytes(pb), total).astype(np.int64)
+                    total = int(totals[ri])
+                    pdeltas = pos_dec[ri].astype(np.int64)
                     # segmented cumsum: pos[o+j] = cs[o+j] - cs[o-1] where o
                     # is the posting start (its delta is the absolute first
                     # position). cs is nondecreasing (deltas >= 0), so
