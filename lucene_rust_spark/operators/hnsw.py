@@ -1248,7 +1248,10 @@ def _read_index_meta(spark, out_dir: str) -> dict:
 # Keyed by (index_dir, shard, build_id) so a rebuilt index misses;
 # bounded LRU.
 _GRAPH_CACHE: dict = {}
-_GRAPH_CACHE_MAX = 4
+# workers only ever open their own task's shards (1-2 graphs each); the
+# driver fast path pins every shard of a <=HNSW_DRIVER_MAX_BYTES index,
+# so the LRU must hold a full small index without thrashing
+_GRAPH_CACHE_MAX = 64
 
 
 def _graph_for_shard(index_dir: str, sh: int, build_id: str) -> HnswGraph:
@@ -1263,6 +1266,60 @@ def _graph_for_shard(index_dir: str, sh: int, build_id: str) -> HnswGraph:
             _GRAPH_CACHE.pop(next(iter(_GRAPH_CACHE)))
         _GRAPH_CACHE[key] = g
     return g
+
+
+# single-query driver fast path (r7, the DRIVER_EXEC_MAX_POSTINGS analog
+# for KNN): when the index's on-disk footprint fits this bound, serve the
+# query from driver-side pinned graphs instead of a wave of Spark tasks —
+# the per-task python round trip alone is ~140 ms on this host while the
+# beam search is single-digit ms. Same per-shard kernel (_probe_shard),
+# same merge order, so results are identical; 0 disables.
+HNSW_DRIVER_MAX_BYTES = 512 * 1024 * 1024
+
+
+def _index_bytes(index_dir: str) -> int:
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(index_dir):
+        for fn in files:
+            try:
+                total += os.path.getsize(os.path.join(root, fn))
+            except OSError:
+                pass
+    return total
+
+
+def _probe_shard(
+    g: "HnswGraph",
+    qv: np.ndarray,
+    k: int,
+    ef,
+    allow,
+    exact_cutoff: float,
+    visited_limit_frac: float,
+):
+    """Per-shard KNN probe — the ONE kernel shared by the distributed
+    task wave and the driver fast path (so their hits are identical)."""
+    if allow is not None and len(allow) == 0:
+        # empty filter: zero hits everywhere (searchsorted against an
+        # empty array would index out of bounds)
+        return []
+    if allow is not None:
+        mask = np.zeros(g.n, dtype=bool)
+        pos = np.searchsorted(allow, g.ids[: g.n])
+        pos = np.minimum(pos, len(allow) - 1)
+        mask[np.flatnonzero(allow[pos] == g.ids[: g.n])] = True
+        n_allowed = int(mask.sum())
+        if n_allowed == 0:
+            return []
+        if n_allowed < exact_cutoff * g.n:
+            return g.search_exact(qv, k, allowed=mask)
+        return g.search(
+            qv, k, ef, allowed=mask,
+            visited_limit=max(int(visited_limit_frac * g.n), 64),
+        )
+    return g.search(qv, k, ef)
 
 
 def hnsw_topk(
@@ -1308,8 +1365,31 @@ def hnsw_topk(
     meta = _read_index_meta(spark, index_dir)
     shards, build_id = meta["shards"], meta["build_id"]
 
+    if HNSW_DRIVER_MAX_BYTES and _index_bytes(index_dir) <= HNSW_DRIVER_MAX_BYTES:
+        # driver fast path: pinned graphs (same _GRAPH_CACHE), same
+        # per-shard kernel, same (cos desc, id asc) merge — identical
+        # hits without a wave of Spark tasks
+        qv = np.asarray(q, dtype=np.float32)
+        rows: list = []
+        for sh in shards:
+            g = _graph_for_shard(index_dir, int(sh), build_id)
+            rows.extend(
+                _probe_shard(
+                    g, qv, k, ef, allowed_arr, exact_cutoff, visited_limit_frac
+                )
+            )
+        rows.sort(key=lambda h: (-h[1], h[0]))
+        from lucene_rust_spark.session import local_rows_df
+
+        return local_rows_df(
+            spark,
+            [(int(i), float(c)) for i, c in rows[:k]],
+            [("id", "BIGINT"), ("cos", "DOUBLE")],
+        )
+
     def probe(batches, _q=q, _k=k, _ef=ef, _allow=allowed_arr,
-              _dir=index_dir, _bid=build_id):
+              _dir=index_dir, _bid=build_id,
+              _xc=exact_cutoff, _vl=visited_limit_frac):
         qv = np.asarray(_q, dtype=np.float32)
         for pdf in batches:
             for sh in pdf["shard"].tolist():
@@ -1317,27 +1397,7 @@ def hnsw_topk(
                 # and caches the deserialized graph across queries — no
                 # per-query shuffle of index bytes
                 g = _graph_for_shard(_dir, int(sh), _bid)
-                if _allow is not None and len(_allow) == 0:
-                    # empty filter: zero hits everywhere (searchsorted
-                    # against an empty array would index out of bounds)
-                    continue
-                if _allow is not None:
-                    mask = np.zeros(g.n, dtype=bool)
-                    pos = np.searchsorted(_allow, g.ids[: g.n])
-                    pos = np.minimum(pos, len(_allow) - 1)
-                    mask[np.flatnonzero(_allow[pos] == g.ids[: g.n])] = True
-                    n_allowed = int(mask.sum())
-                    if n_allowed == 0:
-                        continue
-                    if n_allowed < exact_cutoff * g.n:
-                        hits = g.search_exact(qv, _k, allowed=mask)
-                    else:
-                        hits = g.search(
-                            qv, _k, _ef, allowed=mask,
-                            visited_limit=max(int(visited_limit_frac * g.n), 64),
-                        )
-                else:
-                    hits = g.search(qv, _k, _ef)
+                hits = _probe_shard(g, qv, _k, _ef, _allow, _xc, _vl)
                 if hits:
                     yield pd.DataFrame(
                         {"id": [h[0] for h in hits], "cos": [h[1] for h in hits]}

@@ -1353,9 +1353,12 @@ class IndexSearcher:
         if rows is not None:
             if not rows:
                 return self._empty_result()
-            return self.spark.createDataFrame(
-                self.spark.sparkContext.parallelize(rows, 1),
-                "doc_id long, score float",
+            from lucene_rust_spark.session import local_rows_df
+
+            # literal LocalTableScan: collecting the driver-path result
+            # costs no Spark job (r7; was parallelize -> a Python task)
+            return local_rows_df(
+                self.spark, rows, [("doc_id", "BIGINT"), ("score", "FLOAT")]
             )
         hits = self.hits_df(query, k, search_after, prune)
         return self._finish(hits, k, search_after)

@@ -6,6 +6,46 @@ import os
 
 from pyspark.sql import SparkSession
 
+# literal-relation ceiling for local_rows_df: above this the SQL text and
+# parse time outgrow the job they replace
+LOCAL_ROWS_MAX = 1024
+
+
+def local_rows_df(spark: SparkSession, rows, cols):
+    """Small driver-resident result as a LocalTableScan (VALUES literal):
+    collect() runs ZERO Spark jobs, unlike createDataFrame(parallelize(..))
+    whose collect pays a full Python-task round trip (~140 ms on this
+    host). cols: [(name, sql_type)]; rows: tuples of int/float/str/None.
+    Falls back to the RDD path above LOCAL_ROWS_MAX rows."""
+    schema = ", ".join(f"{n} {t}" for n, t in cols)
+    if not rows:
+        return spark.createDataFrame([], schema)
+    if len(rows) > LOCAL_ROWS_MAX:
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize(list(rows), 1), schema
+        )
+
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, str):
+            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, float):
+            return repr(v)  # shortest round-trip decimal: exact for f64
+        import numpy as _np
+
+        if isinstance(v, _np.floating):
+            return repr(float(v))
+        return str(int(v))
+
+    vals = ", ".join("(" + ", ".join(lit(v) for v in row) + ")" for row in rows)
+    casts = ", ".join(
+        f"CAST(col{i + 1} AS {t}) AS {n}" for i, (n, t) in enumerate(cols)
+    )
+    return spark.sql(f"SELECT {casts} FROM VALUES {vals}")
+
 
 def get_spark(
     app: str = "lucene_rust_spark",

@@ -118,6 +118,31 @@ def test_kernel_doc_id_assignment_content_len_utf16(spark, tmp_path):
     assert got == expected
 
 
+def test_hnsw_driver_path_matches_distributed(spark, tmp_path):
+    """r7 single-query KNN driver fast path: identical hits (ids, cos,
+    order) to the distributed task-wave plan, with and without a filter."""
+    import lucene_rust_spark.operators.hnsw as H
+
+    rng = np.random.default_rng(11)
+    n, dim = 600, 16
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    pdf = pd.DataFrame({"id": np.arange(n, dtype=np.int64), "embedding": list(map(list, vecs))})
+    emb = spark.createDataFrame(pdf)
+    idx = str(tmp_path / "hnsw_idx")
+    H.build_hnsw_index(emb, idx, n_shards=4, m=8, ef_construction=48)
+    q = rng.normal(size=dim).astype(np.float32)
+    flt = list(range(0, n, 3))
+    for filter_ids in (None, flt):
+        drv = H.hnsw_topk(spark, idx, q, k=12, filter_ids=filter_ids).collect()
+        old = H.HNSW_DRIVER_MAX_BYTES
+        H.HNSW_DRIVER_MAX_BYTES = 0
+        try:
+            dist = H.hnsw_topk(spark, idx, q, k=12, filter_ids=filter_ids).collect()
+        finally:
+            H.HNSW_DRIVER_MAX_BYTES = old
+        assert [(r["id"], r["cos"]) for r in drv] == [(r["id"], r["cos"]) for r in dist]
+
+
 def test_for_pack_batch_identical():
     rng = np.random.default_rng(3)
     for _ in range(25):
