@@ -480,8 +480,18 @@ def _ascii_token_stream(arr):
     tok_per_doc = np.bincount(tok_doc, minlength=ndocs).astype(np.int64)
     nbytes = int(lens.sum())
     cum = np.concatenate(([0], np.cumsum(lens)))
-    gather = np.repeat(starts - cum[:-1], lens) + np.arange(nbytes, dtype=np.int64)
-    tok_data = _LOWER_LUT[data[gather]]
+    # chunked int32 gather: the naive repeat+arange index is 16 bytes per
+    # token byte — hundreds of MB of fresh pages per batch on a lazily
+    # backed VM (OPTIMIZATION_r07.md §2); chunking keeps the peak ~10 MB
+    tok_data = np.empty(nbytes, dtype=np.uint8)
+    step = 1 << 19  # tokens per chunk
+    for c0 in range(0, ntok, step):
+        c1 = min(c0 + step, ntok)
+        b0, b1 = int(cum[c0]), int(cum[c1])
+        idx = np.repeat(
+            (starts[c0:c1] - cum[c0:c1]).astype(np.int64), lens[c0:c1]
+        ) + np.arange(b0, b1, dtype=np.int64)
+        tok_data[b0:b1] = _LOWER_LUT[data[idx]]
     sarr = pa.StringArray.from_buffers(
         ntok, pa.py_buffer(cum.astype(np.int32)), pa.py_buffer(tok_data)
     )
@@ -629,12 +639,13 @@ def _utf16_len_arrow(arr) -> np.ndarray:
     data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[base : int(offs[-1])]
     offs = offs - base
     # per byte: 1 for any lead byte, +1 more for a 4-byte lead (surrogate
-    # pair), 0 for continuation bytes
-    unit = np.ones(len(data), dtype=np.int64)
+    # pair), 0 for continuation bytes. int32 throughout: a batch is far
+    # below 2^31 units, and narrow temps matter on this host (§2)
+    unit = np.ones(len(data), dtype=np.int32)
     unit[(data & 0xC0) == 0x80] = 0
     unit[data >= 0xF0] = 2
-    c = np.concatenate(([0], np.cumsum(unit)))
-    return c[offs[1:]] - c[offs[:-1]]
+    c = np.concatenate(([np.int32(0)], np.cumsum(unit, dtype=np.int32)))
+    return (c[offs[1:]] - c[offs[:-1]]).astype(np.int64)
 
 
 def _sha256_arrow(arr) -> np.ndarray:
@@ -783,7 +794,7 @@ def _dwpt_partition(batches, positions: bool = False, stop_words=None, char_filt
         olen_acc.append(olen_b)
         pay_acc.append(pay_b)
         # remap batch-local term codes into the task-level vocabulary
-        remap = np.empty(len(uniques_b), dtype=np.int64)
+        remap = np.empty(len(uniques_b), dtype=np.int32)
         for j, term in enumerate(uniques_b):
             c = vocab.get(term)
             if c is None:
@@ -877,10 +888,14 @@ def _dwpt_partition(batches, positions: bool = False, stop_words=None, char_filt
     docs = np.concatenate([a[0] for a in acc])
     if len(docs) == 0:
         return
-    segs = np.concatenate([a[1] for a in acc]).astype(np.int64)
-    dlqs = np.concatenate([a[2] for a in acc]).astype(np.int64)
-    codes = np.concatenate([a[3] for a in acc]).astype(np.int64)
-    tfs = np.concatenate([a[4] for a in acc]).astype(np.int64)
+    # narrow dtypes (guide §2.3): codes/segs/tfs fit int32 and dlq is a
+    # byte — halving the task's peak working set halves its first-touch
+    # footprint on lazily-backed hosts (§2); _pack_runs widens locally
+    # where the math needs it
+    segs = np.concatenate([a[1] for a in acc]).astype(np.int32)
+    dlqs = np.concatenate([a[2] for a in acc]).astype(np.uint8)
+    codes = np.concatenate([a[3] for a in acc]).astype(np.int32)
+    tfs = np.concatenate([a[4] for a in acc]).astype(np.int32)
     del acc
     # integer lexsort (term-code, seg, doc) — string order is applied later
     # by the global term-range shuffle, so code order inside a task is fine
@@ -893,8 +908,8 @@ def _dwpt_partition(batches, positions: bool = False, stop_words=None, char_filt
         # the offset streams are aligned 1:1 with the position stream, so
         # they reuse the same gather index
         raw = np.concatenate(pos_acc) if pos_acc else np.zeros(0, dtype=np.int64)
-        old_off = np.concatenate(([0], np.cumsum(tfs)))
-        lens_o = tfs[order]
+        old_off = np.concatenate(([0], np.cumsum(tfs, dtype=np.int64)))
+        lens_o = tfs[order].astype(np.int64)
         new_off = np.concatenate(([0], np.cumsum(lens_o)))
         gather = np.repeat(old_off[:-1][order] - new_off[:-1], lens_o) + np.arange(
             int(lens_o.sum()), dtype=np.int64

@@ -373,12 +373,12 @@ def _theta_from_partials(searcher, stats, term_a, ubs, n_a, seg_a, bno_a, k) -> 
         .collect()
     )
     per_term: dict[str, list] = {}
-    for r in rows:
-        n = int(r["n"])
-        docs = np.int64(r["first_doc"]) + np.cumsum(
-            K.for_unpack(bytes(r["docs_bin"]), n)
-        ).astype(np.int64)
-        tfs = K.for_unpack(bytes(r["tfs_bin"]), n).astype(np.int64)
+    ns = np.fromiter((r["n"] for r in rows), dtype=np.int64, count=len(rows))
+    docs_dec = K.for_unpack_batch([r["docs_bin"] for r in rows], ns)
+    tfs_dec = K.for_unpack_batch([r["tfs_bin"] for r in rows], ns)
+    for r, ddec, tdec in zip(rows, docs_dec, tfs_dec):
+        docs = np.int64(r["first_doc"]) + np.cumsum(ddec).astype(np.int64)
+        tfs = tdec.astype(np.int64)
         dlqs = np.frombuffer(bytes(r["dlq_bin"]), dtype=np.uint8).astype(np.int64)
         per_term.setdefault(r["term"], []).append((docs, tfs, dlqs))
     if not per_term:

@@ -55,9 +55,13 @@ def main() -> None:
     )
     dump("dist_phrase", s._phrase_hits(phrase_query(["merge", "window"])))
     dump("dist_synonym", s._synonym_hits({"type": "synonym", "terms": ["merge", "window"]}))
+    from lucene_rust_spark.search.searcher import IndexSearcher
+
+    si = IndexSearcher(spark, s.index_dir, similarity="indri")
+    si.DRIVER_EXEC_MAX_POSTINGS = 0
     dump(
         "dist_indri",
-        s._indri_and_hits({"type": "indri_and", "terms": ["merge", "window"]}),
+        si._indri_and_hits({"type": "indri_and", "terms": ["merge", "window"]}),
     )
     st = s.term_stats(["merge"])
     dump("scored_postings_term", s._scored_postings(["merge"], st))
