@@ -638,6 +638,10 @@ def _utf16_len_arrow(arr) -> np.ndarray:
     base = int(offs[0])
     data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[base : int(offs[-1])]
     offs = offs - base
+    # all-ASCII batch (the common case): UTF-16 units == bytes — one max()
+    # pass instead of building per-byte class arrays
+    if len(data) == 0 or int(data.max()) < 0x80:
+        return (offs[1:] - offs[:-1]).astype(np.int64)
     # per byte: 1 for any lead byte, +1 more for a 4-byte lead (surrogate
     # pair), 0 for continuation bytes. int32 throughout: a batch is far
     # below 2^31 units, and narrow temps matter on this host (§2)
